@@ -1,0 +1,95 @@
+"""Posting-list compression codecs: delta + varbyte, numpy-vectorized.
+
+Role analogue in the reference: the packed fixed-record index codec
+(bitcode + u16 length prefix, /root/reference/src/dump_processor.rs:500-521)
+and the PQ byte codes (dump_processor.rs:523).  Ours is the classic
+inverted-index pairing — per-block delta-encoded doc ids, varbyte
+(7-bits-per-byte, MSB continuation) packed — implemented with whole-array
+numpy ops so the encode/decode running inside Arrow-batched pandas UDFs
+never touches per-row Python (BASELINE.json input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARBYTE_LEN = 10  # ceil(64 / 7)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to varbyte bytes (LSB group
+    first, 0x80 continuation bit = more bytes follow)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    # byte length of each value = number of 7-bit groups
+    lengths = np.ones(arr.shape, dtype=np.int64)
+    rest = arr >> np.uint64(7)
+    while rest.any():
+        lengths += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    for b in range(_MAX_VARBYTE_LEN):
+        mask = lengths > b
+        if not mask.any():
+            break
+        chunk = (arr[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
+        cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
+        out[offsets[mask] + b] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to an int64 array (vectorized)."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_start = np.empty(raw.shape, dtype=bool)
+    is_start[0] = True
+    np.less(raw[:-1] & 0x80, 0x80, out=is_start[1:])
+    value_id = np.cumsum(is_start) - 1
+    starts = np.flatnonzero(is_start)
+    pos = np.arange(raw.size, dtype=np.int64) - starts[value_id]
+    contrib = (raw & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    out = np.zeros(starts.size, dtype=np.uint64)
+    np.bitwise_or.at(out, value_id, contrib)
+    return out.astype(np.int64)
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """First value absolute, then successive differences.  Input must be
+    sorted ascending (posting doc ids are)."""
+    arr = np.ascontiguousarray(sorted_values, dtype=np.int64)
+    if arr.size == 0:
+        return arr
+    out = np.empty_like(arr)
+    out[0] = arr[0]
+    np.subtract(arr[1:], arr[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    arr = np.ascontiguousarray(deltas, dtype=np.int64)
+    return np.cumsum(arr, dtype=np.int64)
+
+
+def encode_postings_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """One posting block: delta+varbyte doc ids, varbyte tfs and doc
+    lengths.  Returns (doc_ids_bytes, tfs_bytes, dls_bytes)."""
+    return (
+        varbyte_encode(delta_encode(doc_ids)),
+        varbyte_encode(tfs),
+        varbyte_encode(dls),
+    )
+
+
+def decode_postings_block(doc_ids_bytes: bytes, tfs_bytes: bytes, dls_bytes: bytes):
+    """Inverse of encode_postings_block -> (doc_ids, tfs, dls)."""
+    return (
+        delta_decode(varbyte_decode(doc_ids_bytes)),
+        varbyte_decode(tfs_bytes),
+        varbyte_decode(dls_bytes),
+    )
