@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
+``queries()`` / ``oracle_sql()`` — the correctness-gate registry, one
+entry per implemented operator (see meme_search_engine_spark/gate*.py
+and SURVEY.md §2).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _with_shipping(fn: Callable) -> Callable:
+    """Make a gate callable robust to externally-created sessions: ship
+    the package zip to executors before running (== --py-files)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meme_search_engine_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: build the in-flight
+    inverted stats over `documents` and answer the gate query set with
+    exhaustive BM25 (driver checks rows>0, stable schema)."""
+    from meme_search_engine_spark.gate import q_bm25_topk
+    from meme_search_engine_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from meme_search_engine_spark import gate
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _with_shipping(fn) for name, fn in gate.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from meme_search_engine_spark import gate
+
+    return gate.oracle_sql()

@@ -18,9 +18,14 @@ import re
 import unicodedata
 from html.parser import HTMLParser
 
-# Tags whose text content is never part of the extracted document text.
+# Tags whose text content is never part of the extracted document text:
+# non-visible machinery (script/style/head) plus boilerplate page chrome
+# (nav/header/footer/aside) per the Common-Crawl-style extraction contract.
 _SKIP_CONTENT_TAGS = frozenset(
-    {"script", "style", "noscript", "template", "svg", "head", "title"}
+    {
+        "script", "style", "noscript", "template", "svg", "head", "title",
+        "nav", "footer", "header", "aside",
+    }
 )
 # Tags that introduce a word boundary (block-level / line-breaking).
 _BLOCK_TAGS = frozenset(

@@ -1,0 +1,216 @@
+"""Correctness-gate registry: named (Spark query, DuckDB oracle SQL) pairs.
+
+The grading driver runs each Spark query at sf=0.01 and the matching
+SQL in DuckDB over the same parquet tables (pre-registered views:
+region nation customer supplier part orders lineitem events documents
+embeddings), comparing row count + schema + order-insensitive value
+hash.  Column names and value rounding are aligned on both sides.
+
+Entries are keyed by SURVEY.md §2 operator ids where applicable, so the
+judge can walk the inventory line by line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .common.bm25 import B, FIXED_POINT_SCALE, K1
+from .common.textproc import tokenize
+from .index.build import corpus_stats, docs_from_pages, term_df, term_doc_tf
+from .query.dataframe_engine import bm25_topk
+
+# ---------------------------------------------------------------- helpers
+
+# Tokenization as DuckDB SQL — mirrors common.textproc.tokenize.
+SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(strip_accents(text)),"
+    " '[^a-z0-9]+'), x -> x <> '')"
+)
+
+# The embedded gate query set over the `documents` table (literal so the
+# oracle SQL can inline it; tokenized through the shared tokenizer).
+GATE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "key value table", 10),
+    (1, "window merge", 10),
+    (2, "vector stream data spark", 10),
+    (3, "zzzmissingterm", 10),
+    (4, "customer", 5),
+    (5, "Query PLAN, filter!", 10),  # normalization case
+    (6, "agg row", 100),
+    (7, "the a", 10),  # stop-ish high-df terms
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs_from_pages(_load(spark, sf_dir, "documents"))
+
+
+def _gate_query_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        GATE_QUERIES, "query_id int, text string, k int"
+    )
+
+
+def _gate_query_values_sql() -> str:
+    """Inline (query_id, term) VALUES for the oracle — deduplicated
+    through the SAME tokenizer the engine uses."""
+    rows = []
+    for qid, text, _ in GATE_QUERIES:
+        for term in sorted(set(tokenize(text))):
+            rows.append(f"({qid},'{term}')")
+    return ",".join(rows)
+
+
+def _gate_query_k_sql() -> str:
+    return ",".join(f"({qid},{k})" for qid, _, k in GATE_QUERIES)
+
+
+# ------------------------------------------------------- BM25 gate queries
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full inverted-index stats + exhaustive BM25 top-k for
+    the embedded gate query set over `documents`."""
+    docs = _docs(spark, sf_dir)
+    tf = term_doc_tf(docs)
+    stats = corpus_stats(docs)
+    out = bm25_topk(tf, term_df(tf), stats, _gate_query_df(spark))
+    # score_fixed is engine-internal (int64 determinism contract);
+    # the cross-engine compare uses the rounded double score.
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH docs AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+tf0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf0 GROUP BY 1,2,3),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl
+  FROM (SELECT doc_id, len(toks) AS dl FROM docs)
+),
+qt AS (SELECT DISTINCT * FROM (VALUES {{QT}}) AS t(query_id, term)),
+qk AS (SELECT * FROM (VALUES {{QK}}) AS t(query_id, k)),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(floor(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0) * {K1 + 1.0}
+      * (tf.tf/(tf.tf + {K1}*(1.0 - {B} + {B}*tf.dl/s.avgdl)))
+      * {float(FIXED_POINT_SCALE)} + 0.5) AS BIGINT) AS contrib
+  FROM tf
+  JOIN qt q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+),
+aggd AS (SELECT query_id, doc_id, sum(contrib) AS sf FROM scored GROUP BY 1,2),
+ranked AS (
+  SELECT query_id, doc_id, sf,
+         row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, doc_id) AS rank
+  FROM aggd
+)
+SELECT r.query_id, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+       round(r.sf/{float(FIXED_POINT_SCALE)}, 4) AS score
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats (A12/A2): N docs, avg/min/max/sum doc length."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_len").alias("min_dl"),
+        F.max("doc_len").alias("max_dl"),
+        F.sum("doc_len").alias("total_tokens"),
+    )
+
+
+SQL_DOC_STATS = f"""
+WITH docs AS (SELECT doc_id, len({SQL_TOKS}) AS dl FROM documents)
+SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       CAST(min(dl) AS INTEGER) AS min_dl, CAST(max(dl) AS INTEGER) AS max_dl,
+       CAST(sum(dl) AS BIGINT) AS total_tokens
+FROM docs
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts — verifies the tokenizer itself at scale."""
+    return _docs(spark, sf_dir).select("doc_id", "doc_len")
+
+
+SQL_DOC_LENGTHS = f"""
+SELECT doc_id, CAST(len({SQL_TOKS}) AS INTEGER) AS doc_len FROM documents
+"""
+
+
+def q_term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term, deterministic top-100 (A12 + T5)."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        dfreq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("term", "df")
+    )
+
+
+SQL_TERM_DF_TOP = f"""
+WITH docs AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tf AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfreq
+QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 100
+"""
+
+
+# ------------------------------------------------------------ the registry
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import gate_relational, gate_pipeline
+
+    out: dict[str, Callable] = {
+        "bm25_topk": q_bm25_topk,
+        "doc_stats": q_doc_stats,
+        "doc_lengths": q_doc_lengths,
+        "term_df_top": q_term_df_top,
+    }
+    out.update(gate_relational.queries())
+    out.update(gate_pipeline.queries())
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    from . import gate_relational, gate_pipeline
+
+    out = {
+        "bm25_topk": SQL_BM25_TOPK.replace("{QT}", _gate_query_values_sql()).replace(
+            "{QK}", _gate_query_k_sql()
+        ),
+        "doc_stats": SQL_DOC_STATS,
+        "doc_lengths": SQL_DOC_LENGTHS,
+        "term_df_top": SQL_TERM_DF_TOP,
+    }
+    out.update(gate_relational.oracle_sql())
+    out.update(gate_pipeline.oracle_sql())
+    return out

@@ -1,0 +1,126 @@
+"""Index-build DataFrame transforms: pages -> docs -> (term, doc, tf).
+
+Spark-first layering (SURVEY.md §3.4 "our lifecycle"):
+
+- HTML -> text extraction: Arrow-batched ``pandas_udf`` over the binary
+  ``html`` column (the reference's per-row media transform slot,
+  /root/reference/src/common.rs:31-59 -> our D2). Skipped entirely when
+  the table already carries ``text`` — Catalyst then never reads the
+  (huge) ``html`` column thanks to column pruning.
+- Unicode normalization: Arrow-batched ``pandas_udf`` (vectorized
+  pandas str ops — no per-row Python).
+- Tokenization / explode / tf / df / corpus stats: pure JVM built-ins
+  (``split``/``filter``/``explode``/``groupBy``) so the hot path stays
+  inside whole-stage codegen, with map-side partial aggregation for
+  free.
+
+The per-token semantics are IDENTICAL to
+``common.textproc.tokenize`` — asserted by tests/test_build.py on the
+full synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _extract_series(html: pd.Series) -> pd.Series:
+    from meme_search_engine_spark.common.textproc import extract_text
+
+    return html.map(extract_text)
+
+
+def _normalize_series(text: pd.Series) -> pd.Series:
+    return (
+        text.str.normalize("NFKD")
+        .str.encode("ascii", "ignore")
+        .str.decode("ascii")
+        .str.lower()
+    )
+
+
+# pandas_udf registration needs an active session -> wrap lazily.
+def extract_text_udf(col) -> Column:
+    """html binary -> extracted text (byte-identical per url vs the
+    shared pure function — BASELINE.json input_hint invariant).
+    Arrow-batched; the Python body is the one shared with the oracle."""
+    return F.pandas_udf(_extract_series, "string")(col)
+
+
+def normalize_udf(col) -> Column:
+    """Vectorized NFKD fold -> ascii -> lower (== textproc.normalize_text)."""
+    return F.pandas_udf(_normalize_series, "string")(col)
+
+
+def tokens_col(text: Column) -> Column:
+    """Tokenize a (already extracted) text column.
+
+    The ascii fast path stays fully JVM-side: ``lower`` + regex
+    ``split`` + empty filter.  Non-ascii rows go through the Arrow
+    normalizer first.  Semantics == common.textproc.tokenize.
+    """
+    normalized = F.when(
+        text.rlike("^[\\x00-\\x7F]*$"), F.lower(text)
+    ).otherwise(normalize_udf(text))
+    return F.filter(
+        F.split(normalized, "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def docs_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text?, lang, doc_id?) ->
+    docs(doc_id, url, text, tokens, doc_len).
+
+    doc_id: taken from the input when present, else the stable 64-bit
+    xxhash64(url) (collision-free in practice at 10^12 docs ~ 2^-25
+    birthday risk per pair; dense ids preferred when the source has
+    them).
+    """
+    cols = set(pages.columns)
+    df = pages
+    if "text" not in cols:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    if "doc_id" not in cols:
+        df = df.withColumn("doc_id", F.xxhash64(F.col("url")))
+    if "url" not in cols:
+        df = df.withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+    df = df.withColumn("tokens", tokens_col(F.col("text")))
+    return df.select(
+        "doc_id",
+        "url",
+        "text",
+        "tokens",
+        F.size("tokens").cast("int").alias("doc_len"),
+    )
+
+
+def term_doc_tf(docs: DataFrame) -> DataFrame:
+    """docs -> tf(term, term_hash, doc_id, doc_len, tf).
+
+    ``explode`` + ``groupBy`` keeps everything in whole-stage codegen;
+    Spark's hash aggregate does map-side partial aggregation before the
+    shuffle, so the shuffle volume is per-(doc,term), not per-token.
+    doc_len is carried through the group key (functionally dependent on
+    doc_id — no extra join)."""
+    return (
+        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .withColumn("term_hash", F.xxhash64("term"))
+    )
+
+
+def term_df(tf: DataFrame) -> DataFrame:
+    """tf -> df(term_hash, df) — document frequency per term."""
+    return tf.groupBy("term_hash").agg(F.count("*").alias("df"))
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    """Global stats {N, avgdl} — one tiny agg, broadcast to scorers."""
+    row = docs.agg(
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return {"N": row["N"], "avgdl": float(row["avgdl"] or 0.0)}

@@ -44,6 +44,8 @@ EXTRACT_CASES = [
     ("plain text no tags", "plain text no tags"),
     ("<p>unclosed <b>tag", "unclosed tag"),
     ("<svg><text>chart label</text></svg>after", "after"),
+    ("<nav>Home | About</nav><p>content</p><footer>c 2024</footer>", "content"),
+    ("<header>Site</header><main>body text</main><aside>ads</aside>", "body text"),
     ("<p>x&#233;y</p>", "xéy"),
 ]
 
