@@ -1,0 +1,111 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline queries:
+  index_build      full posting-segment build over `documents`
+  bm25_exhaustive  DataFrame BM25 top-k, gate query set (in-flight stats)
+  wand_topk        block-max WAND over the built index, gate query set
+  wand_p50_ms      per-query p50 latency (reported in extras)
+  doc_stats / term_df_top  corpus analytics
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from meme_search_engine_spark.session import get_spark
+    from meme_search_engine_spark import gate
+    from meme_search_engine_spark.index.builder import build_index, load_index
+    from meme_search_engine_spark.index.postings import IndexConfig
+    from meme_search_engine_spark.query.wand import wand_topk
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow path once so timings measure work, not startup
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    cfg = IndexConfig(salt_shift=12, n_buckets=32, n_parts=8)
+    try:
+        pages = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed("index_build", lambda: build_index(spark, pages, idx_dir, cfg))
+        extras["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+        timed(
+            "bm25_exhaustive",
+            lambda: gate.q_bm25_topk(spark, sf_dir).collect(),
+        )
+
+        segments, term_stats, manifest = load_index(spark, idx_dir)
+        segments = segments.cache()
+        segments.count()
+        qdf = spark.createDataFrame(
+            gate.GATE_QUERIES, "query_id int, text string, k int"
+        )
+        timed(
+            "wand_topk",
+            lambda: wand_topk(spark, segments, term_stats, manifest, qdf).collect(),
+        )
+        # per-query latency (warm index): p50 over the gate set
+        lat = []
+        for qid, text, k in gate.GATE_QUERIES:
+            q1 = spark.createDataFrame(
+                [(qid, text, k)], "query_id int, text string, k int"
+            )
+            t0 = time.time()
+            wand_topk(spark, segments, term_stats, manifest, q1).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        extras["wand_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+
+        timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect())
+        timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect())
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_index_build_and_query_e2e",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

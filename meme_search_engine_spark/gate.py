@@ -127,6 +127,45 @@ WHERE r.rank <= qk.k
 """
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _built_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a real posting-segment index
+    over `documents` in a temp dir."""
+    import tempfile
+
+    from .index.builder import build_index
+    from .index.postings import IndexConfig
+
+    if sf_dir not in _INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="gate_idx_")
+        pages = _load(spark, sf_dir, "documents")
+        build_index(
+            spark, pages, out, IndexConfig(salt_shift=10, n_buckets=16, n_parts=4)
+        )
+        _INDEX_CACHE[sf_dir] = out
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full physical path: posting-segment build (salted, delta+varbyte,
+    block-max) -> block-max WAND top-k.  Must equal the exhaustive
+    engine AND the DuckDB oracle — same SQL as bm25_topk."""
+    from .index.builder import load_index
+    from .query.wand import wand_topk
+
+    segments, term_stats, manifest = load_index(
+        spark, _built_index(spark, sf_dir)
+    )
+    out = wand_topk(
+        spark, segments, term_stats, manifest, _gate_query_df(spark)
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats (A12/A2): N docs, avg/min/max/sum doc length."""
     docs = _docs(spark, sf_dir)
@@ -167,12 +206,10 @@ def q_term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return (
-        dfreq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select("term", "df")
-    )
+    # deterministic top-100: distributed TakeOrderedAndProject (per-
+    # partition top-N then merge), NOT a global window (which would
+    # funnel every term through one partition)
+    return dfreq.orderBy(F.desc("df"), F.asc("term")).limit(100).select("term", "df")
 
 
 SQL_TERM_DF_TOP = f"""
@@ -191,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable] = {
         "bm25_topk": q_bm25_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
         "doc_stats": q_doc_stats,
         "doc_lengths": q_doc_lengths,
         "term_df_top": q_term_df_top,
@@ -203,10 +241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from . import gate_relational, gate_pipeline
 
+    bm25_sql = SQL_BM25_TOPK.replace("{QT}", _gate_query_values_sql()).replace(
+        "{QK}", _gate_query_k_sql()
+    )
     out = {
-        "bm25_topk": SQL_BM25_TOPK.replace("{QT}", _gate_query_values_sql()).replace(
-            "{QK}", _gate_query_k_sql()
-        ),
+        "bm25_topk": bm25_sql,
+        "bm25_wand_topk": bm25_sql,
         "doc_stats": SQL_DOC_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,
         "term_df_top": SQL_TERM_DF_TOP,

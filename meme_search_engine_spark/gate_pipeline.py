@@ -1,17 +1,241 @@
 """Gate entries for the training-data-pipeline operators (dedup,
-similarity search, text analysis) over documents/embeddings.  Filled
-operator-by-operator."""
+similarity search, text analysis) over documents/embeddings.
+
+Hash-free ops get full DuckDB oracles; xxhash64-based ops (MinHash/LSH,
+SimHash) have no SQL twin, so they ship as rows-only entries here plus
+pure-Python equivalence tests in tests/test_ops_*.py.
+"""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .ops import dedup, similarity, textstats
+
+# tokenization as DuckDB SQL (same as gate.SQL_TOKS)
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(strip_accents(text)),"
+    " '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+
+def dd_exact_groups(spark, sf_dir):
+    """Exact dedup groups by content hash."""
+    return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def dd_jaccard_top_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, deterministic top-20."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    return (
+        pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select(
+            "doc_a", "doc_b", "inter", F.round("jaccard", 4).alias("jaccard")
+        )
+    )
+
+
+def dd_minhash_candidates(spark, sf_dir):
+    """MinHash+LSH candidate pairs (xxhash64-based — rows-only gate;
+    recall vs exact Jaccard is pytest-verified)."""
+    return dedup.minhash_lsh_candidates(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, n=3
+    )
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates (rows-only gate; pure-Python
+    equivalence pytest-verified)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+# -------------------------------------------------------------- similarity
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors 0..2 (JVM fold)."""
+    emb = _emb(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    out = similarity.cosine_topk_exact(
+        emb.filter(F.col("vec_id") >= 3), queries, k=10
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (rows-only gate; recall vs brute
+    force pytest-verified)."""
+    emb = _emb(spark, sf_dir)
+    qpd = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    out = similarity.ivf_topk(
+        spark, emb.filter(F.col("vec_id") >= 3), qpd, k=10, n_lists=8, n_probe=3
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------- textstats
+
+def ts_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def ts_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def ts_fingerprints_md5(spark, sf_dir):
+    """Content fingerprint (md5 only — the rolling hash is xxhash-based,
+    covered by pytest)."""
+    return textstats.fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "content_md5"
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+_STOP_EN = "'the','a','of','and','to','in','is','that'"
+_STOP_DE = "'der','die','das','und','ist','nicht','ein'"
+_STOP_FR = "'le','la','les','et','est','un','une','que'"
+
+ORACLES: dict[str, str] = {
+    "dd_exact_groups": """
+        SELECT md5(text) AS fingerprint, count(*) AS n_dups,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY text
+    """,
+    "dd_jaccard_top_pairs": f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS p,
+                 unnest(toks) AS term
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT t1.doc_id,
+                 t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+          FROM pos t1
+          JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.p = t1.p + 1
+          JOIN pos t3 ON t1.doc_id = t3.doc_id AND t3.p = t1.p + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT doc_a, doc_b, inter,
+                 inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, inter, round(jaccard, 4) AS jaccard
+        FROM j WHERE jaccard >= 0.05
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 3
+        ),
+        v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+        scored AS (
+          SELECT q.query_id, v.vec_id,
+                 list_dot_product(v.embedding, q.qvec)
+                 / (sqrt(list_dot_product(v.embedding, v.embedding))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+          FROM v CROSS JOIN q
+        )
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+               vec_id, round(cosine, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= 10
+    """,
+    "ts_quality_scores": f"""
+        WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+                 AS distinct_ratio,
+               round(len(list_filter(toks, x -> x IN ({_STOP_EN}))) * 1.0
+                     / greatest(len(toks), 1), 4) AS stopword_ratio,
+               round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                     / greatest(len(toks), 1), 4) AS mean_token_len
+        FROM d
+    """,
+    "ts_lang_id": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+            round(len(list_filter(toks, x -> x IN ({_STOP_EN}))) * 1.0
+                  / greatest(len(toks), 1), 6) AS score_en,
+            round(len(list_filter(toks, x -> x IN ({_STOP_DE}))) * 1.0
+                  / greatest(len(toks), 1), 6) AS score_de,
+            round(len(list_filter(toks, x -> x IN ({_STOP_FR}))) * 1.0
+                  / greatest(len(toks), 1), 6) AS score_fr
+          FROM d
+        )
+        SELECT doc_id, score_en, score_de, score_fr,
+               CASE
+                 WHEN greatest(score_en, score_de, score_fr) <= 0 THEN 'und'
+                 WHEN score_en = greatest(score_en, score_de, score_fr) THEN 'en'
+                 WHEN score_de = greatest(score_en, score_de, score_fr) THEN 'de'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM s
+    """,
+    "ts_fingerprints_md5": """
+        SELECT doc_id, md5(text) AS content_md5 FROM documents
+    """,
+}
+
+_FNS = {
+    "dd_exact_groups": dd_exact_groups,
+    "dd_jaccard_top_pairs": dd_jaccard_top_pairs,
+    "dd_minhash_candidates": dd_minhash_candidates,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ts_quality_scores": ts_quality_scores,
+    "ts_lang_id": ts_lang_id,
+    "ts_fingerprints_md5": ts_fingerprints_md5,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return dict(_FNS)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    return dict(ORACLES)

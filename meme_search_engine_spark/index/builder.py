@@ -1,0 +1,223 @@
+"""Build orchestration: resumable, checkpointed index construction.
+
+Mirrors the reference's resume-from-readback pattern
+(/root/reference/src/reddit_dump.rs:269-301: scan previous output,
+skip everything before the high-water mark) and its
+idempotent-upsert sinks (src/main.rs:324-339), Spark-first:
+
+- build partitions are a pure function of doc_id (``part_col``), so a
+  resumed run re-selects exactly the missing input slice with a
+  pushed-down filter — no re-tokenization of completed ranges;
+- partial segments are written with DYNAMIC PARTITION OVERWRITE, so a
+  partition that crashed mid-write is rewritten atomically on retry
+  (idempotence per (input_snapshot, part_id));
+- a ledger parquet records per-partition lineage + metrics
+  (FIXTURES.md §5 schema): rows_in, terms_out, bytes_out, status.
+
+Layout of an index directory:
+    stats.json                 corpus stats {N, avgdl} + input snapshot
+    partials/part_id=*/        stage-1 salted block rows
+    ledger/                    checkpoint ledger (parquet, append)
+    segments/bucket=*/         final block rows (term-hash bucketed)
+    term_stats/                per-term df / n_blocks / global bound
+    manifest.json              config + stats + lineage
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .build import corpus_stats, docs_from_pages, term_doc_tf
+from .postings import (
+    IndexConfig,
+    build_partials,
+    finalize_segments,
+    part_col,
+    term_stats_from_segments,
+)
+
+
+def input_snapshot(df: DataFrame) -> str:
+    """Lineage id: hash of the sorted input file list (Iceberg-snapshot
+    stand-in; files are immutable in the lake layout)."""
+    files = sorted(df.inputFiles())
+    if not files:
+        return "inmem"
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+    return h.hexdigest()[:16]
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the test-only failure hook mid-build."""
+
+
+def _ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "ledger")
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _ledger_path(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def completed_parts(spark: SparkSession, out_dir: str, snapshot: str) -> set[int]:
+    led = read_ledger(spark, out_dir)
+    if led is None:
+        return set()
+    rows = (
+        led.filter(
+            (F.col("status") == "done") & (F.col("input_snapshot") == snapshot)
+        )
+        .select("part_id")
+        .collect()
+    )
+    return {r["part_id"] for r in rows}
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    parts_per_batch: int | None = None,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Resumable end-to-end index build.  Returns the manifest dict.
+
+    parts_per_batch: checkpoint granularity — how many build partitions
+    one Spark job covers before the ledger commits (None = all pending
+    in a single job; tests use 1 to exercise kill/resume).
+    fail_after_batches: test hook — raise after N committed batches.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    snapshot = input_snapshot(pages)
+
+    # ---- pass 0: corpus stats (skipped on resume) --------------------
+    stats_path = os.path.join(out_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            stats = json.load(fh)
+        if stats.get("input_snapshot") != snapshot:
+            raise ValueError(
+                f"index at {out_dir} was built from snapshot "
+                f"{stats.get('input_snapshot')}, input is {snapshot}"
+            )
+    else:
+        docs = docs_from_pages(pages)
+        stats = corpus_stats(docs)
+        stats["input_snapshot"] = snapshot
+        with open(stats_path, "w") as fh:
+            json.dump(stats, fh)
+
+    # ---- stage 1: salted partials, per checkpoint batch --------------
+    done = completed_parts(spark, out_dir, snapshot)
+    pending = [p for p in range(cfg.n_parts) if p not in done]
+    if parts_per_batch is None:
+        parts_per_batch = max(len(pending), 1)
+    partials_dir = os.path.join(out_dir, "partials")
+    batches_done = 0
+    while pending:
+        batch = pending[:parts_per_batch]
+        pending = pending[parts_per_batch:]
+        pages_b = pages.filter(part_col(F.col("doc_id"), cfg).isin(batch))
+        docs_b = docs_from_pages(pages_b)
+        tf_b = term_doc_tf(docs_b)
+        partials_b = build_partials(tf_b, stats["avgdl"], cfg)
+        (
+            partials_b.repartition("part_id")
+            .write.partitionBy("part_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(partials_dir)
+        )
+        # ledger row per part, with metrics read back from the partials
+        # (cheap: compressed block rows)
+        written = spark.read.parquet(partials_dir).filter(
+            F.col("part_id").isin(batch)
+        )
+        metrics = {
+            r["part_id"]: r
+            for r in written.groupBy("part_id")
+            .agg(
+                F.sum("n_docs").alias("postings_out"),
+                F.count_distinct("term_hash").alias("terms_out"),
+                F.sum(
+                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                ).alias("bytes_out"),
+            )
+            .collect()
+        }
+        rows_in = {
+            r["part_id"]: r["n"]
+            for r in docs_b.groupBy(
+                part_col(F.col("doc_id"), cfg).alias("part_id")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        ledger_rows = [
+            (
+                int(p),
+                snapshot,
+                int(rows_in.get(p, 0)),
+                int(metrics[p]["terms_out"]) if p in metrics else 0,
+                int(metrics[p]["bytes_out"]) if p in metrics else 0,
+                int(metrics[p]["postings_out"]) if p in metrics else 0,
+                "done",
+            )
+            for p in batch
+        ]
+        spark.createDataFrame(
+            ledger_rows,
+            "part_id int, input_snapshot string, rows_in long, "
+            "terms_out long, bytes_out long, postings_out long, status string",
+        ).write.mode("append").parquet(_ledger_path(out_dir))
+        batches_done += 1
+        if fail_after_batches is not None and batches_done >= fail_after_batches:
+            raise InjectedFailure(f"injected failure after {batches_done} batches")
+
+    # ---- stage 2: concat-merge finalize ------------------------------
+    partials = spark.read.parquet(partials_dir)
+    segments = finalize_segments(partials, cfg)
+    segments_dir = os.path.join(out_dir, "segments")
+    (
+        segments.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(segments_dir)
+    )
+    seg = spark.read.parquet(segments_dir)
+    term_stats_from_segments(seg).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "term_stats")
+    )
+
+    manifest = {
+        "format_version": 1,
+        "config": asdict(cfg),
+        "stats": stats,
+        "input_snapshot": snapshot,
+        "n_parts": cfg.n_parts,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def load_index(spark: SparkSession, out_dir: str):
+    """-> (segments_df, term_stats_df, manifest)."""
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    segments = spark.read.parquet(os.path.join(out_dir, "segments"))
+    term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    return segments, term_stats, manifest

@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: two flavors — pure JVM expressions
+  (zip_with/aggregate fold, the correctness baseline) and an
+  Arrow-batched numpy matmul (the throughput path; one BLAS GEMM per
+  batch, the moral equivalent of the reference's sgemm rerank,
+  /root/reference/src/query_disk_index.rs:486-511).
+- IVF-style bucketed ANN: deterministic hash-free centroid selection,
+  assign-to-nearest as a pandas UDF, probe top-p lists only — the
+  scale path (reference analogue: centroid shard routing,
+  src/dump_processor.rs:438-455 + query_disk_index.rs:447-450).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_exact(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k, JVM expressions only.
+
+    queries(query_id, qvec: array<float>) is broadcast; score every
+    (query, vector) pair; rank with a per-query window.  Deterministic:
+    ties break on vec_id."""
+    scored = embeddings.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine",
+        _dot("embedding", "qvec")
+        / (
+            F.sqrt(_dot("embedding", "embedding"))
+            * F.sqrt(_dot("qvec", "qvec"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_gemm(
+    embeddings: DataFrame, queries_pd: pd.DataFrame, k: int = 10
+) -> DataFrame:
+    """Throughput path: queries as a broadcast numpy matrix, one GEMM
+    per Arrow batch, per-partition top-k then global top-k merge.
+
+    Scale shape: no shuffle until the final tiny top-k union — each
+    partition emits at most k rows per query."""
+    qids = queries_pd["query_id"].to_numpy(np.int64)
+    qm = np.stack(queries_pd["qvec"].to_numpy())  # (Q, D)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qm.T  # (B, Q)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            kk = min(k, sims.shape[0])
+            # per-batch partial top-k per query
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out = {
+                "query_id": np.repeat(qids, kk),
+                "vec_id": vec_ids[idx].T.ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = embeddings.mapInPandas(
+        kernel, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, spill: int = 1
+) -> DataFrame:
+    """Assign each vector to its top-`spill` nearest centroids (cosine).
+    Mirrors the reference's SHARD_SPILL=2 multi-assignment
+    (dump_processor.rs:134,452-455)."""
+    cm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ cm.T
+            top = np.argsort(-sims, axis=1)[:, :spill]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), spill),
+                    "embedding": pdf["embedding"].iloc[
+                        np.repeat(np.arange(n), spill)
+                    ].to_numpy(),
+                    "list_id": top.ravel().astype(np.int32),
+                }
+            )
+
+    return embeddings.mapInPandas(
+        kernel, "vec_id long, embedding array<float>, list_id int"
+    )
+
+
+def deterministic_centroids(
+    embeddings: DataFrame, n_lists: int
+) -> np.ndarray:
+    """Hash-free deterministic 'training': the n_lists vectors with the
+    smallest vec_id (good enough as a seedless stand-in for k-means;
+    the reference trains real balanced k-means, kmeans.py — pluggable)."""
+    rows = (
+        embeddings.orderBy("vec_id").limit(n_lists).select("embedding").collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    queries_pd: pd.DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    spill: int = 1,
+) -> DataFrame:
+    """IVF ANN: build lists once, probe only the n_probe nearest lists
+    per query.  Returns (query_id, rank, vec_id, cosine).  Approximate;
+    recall vs brute force is property-tested."""
+    cents = deterministic_centroids(embeddings, n_lists)
+    assigned = ivf_assign(embeddings, cents, spill)
+
+    qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(queries_pd["query_id"].iloc[i]), [float(x) for x in qm[i]], int(l))
+        for i in range(len(queries_pd))
+        for l in probe[i]
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<float>, list_id int"
+    )
+    cand = assigned.join(F.broadcast(probe_df), "list_id")
+    scored = cand.withColumn(
+        "cosine",
+        _dot("embedding", "qvec")
+        / (
+            F.sqrt(_dot("embedding", "embedding"))
+            * F.sqrt(_dot("qvec", "qvec"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

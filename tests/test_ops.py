@@ -1,0 +1,250 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+textstats, multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from meme_search_engine_spark.common.hashing import term_hash, xxh64_bytes
+from meme_search_engine_spark.common.textproc import tokenize
+from meme_search_engine_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),    # near dup
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (5, "short text"),
+        (6, "another unrelated document mentioning spark once"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------- dedup
+
+def test_exact_duplicate_groups(spark, docs_df):
+    groups = {
+        r["keep_doc_id"]: r["n_dups"]
+        for r in dedup.exact_duplicate_groups(docs_df).collect()
+    }
+    assert groups[0] == 2  # docs 0 and 1
+    assert sum(groups.values()) == 7
+    kept = dedup.drop_exact_duplicates(docs_df).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0, 2, 3, 4, 5, 6]  # 1 dropped, 0 kept (min doc_id)
+
+
+def test_jaccard_pairs_manual(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs_df, n=3, threshold=0.01).collect()
+    }
+    # exact dup pair -> jaccard 1.0
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+
+    # manual check for (0, 2): shingle sets of 3-grams
+    def sh(text):
+        t = tokenize(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    s0, s2 = sh("the quick brown fox jumps over the lazy dog"), sh(
+        "the quick brown fox jumps over the sleepy dog"
+    )
+    expected = len(s0 & s2) / len(s0 | s2)
+    assert pairs[(0, 2)] == pytest.approx(expected)
+    # unrelated docs share no 3-gram
+    assert (3, 6) not in pairs
+
+
+def test_minhash_lsh_candidates(spark, docs_df):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_df, n_hashes=16, bands=8, n=3
+        ).collect()
+    }
+    # identical docs collide in every band -> always candidates
+    assert (0, 1) in cands
+    # candidates only among docs sharing shingles: 3/6 share none with 0
+    assert (0, 3) not in cands and (3, 6) not in cands
+
+
+def test_simhash_matches_pure_python(spark, docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+
+    def pure_simhash(text):
+        from collections import Counter
+
+        score = [0.0] * 64
+        for term, tf in Counter(tokenize(text)).items():
+            h = term_hash(term) & 0xFFFFFFFFFFFFFFFF
+            for i in range(64):
+                score[i] += tf if (h >> i) & 1 else -tf
+        sig = 0
+        for i in range(64):
+            if score[i] > 0:
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rows = docs_df.collect()
+    for r in rows:
+        assert got[r["doc_id"]] == pure_simhash(r["text"]), r["doc_id"]
+    assert got[0] == got[1]  # identical docs -> identical signature
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs_df, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+# -------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_gemm_matches_exact(spark, emb_df):
+    queries = (
+        emb_df.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    base = emb_df.filter(F.col("vec_id") >= 3)
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk_exact(base, queries, k=10).collect()
+    }
+    qpd = queries.toPandas()
+    gemm = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk_gemm(base, qpd, k=10).collect()
+    }
+    assert set(exact) == set(gemm)
+    for key in exact:
+        assert exact[key][0] == gemm[key][0], key  # same ids, same order
+        assert exact[key][1] == pytest.approx(gemm[key][1], abs=1e-9)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb_df):
+    queries = (
+        emb_df.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    base = emb_df.filter(F.col("vec_id") >= 5)
+    exact = {}
+    for r in similarity.cosine_topk_exact(base, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qpd = queries.toPandas()
+    approx = {}
+    for r in similarity.ivf_topk(
+        spark, base, qpd, k=10, n_lists=8, n_probe=4, spill=2
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+# --------------------------------------------------------------- textstats
+
+def test_quality_scores_manual(spark, docs_df):
+    rows = {r["doc_id"]: r for r in textstats.quality_scores(docs_df).collect()}
+    r0 = rows[0]
+    toks = tokenize("the quick brown fox jumps over the lazy dog")
+    assert r0["n_tokens"] == len(toks)
+    assert r0["distinct_ratio"] == pytest.approx(
+        round(len(set(toks)) / len(toks), 4)
+    )
+    assert r0["stopword_ratio"] == pytest.approx(round(2 / 9, 4))  # 'the' x2
+    assert r0["punct_ratio"] == 0.0
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (0, "the cat is in the house and that is fine"),
+        (1, "der hund ist nicht in das haus und der garten"),
+        (2, "le chat est dans la maison et les jardins"),
+        (3, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprints_pure_python(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["content_md5"], r["rolling_hash"])
+        for r in textstats.fingerprints(docs_df).collect()
+    }
+    import hashlib
+
+    MOD = (1 << 61) - 1
+    for r in docs_df.collect():
+        md5 = hashlib.md5(r["text"].encode()).hexdigest()
+        h = 0
+        for t in tokenize(r["text"]):
+            h = (h * 1_000_003 + xxh64_bytes(t.encode(), 0) % MOD) % MOD
+        assert got[r["doc_id"]] == (md5, h), r["doc_id"]
+    # order sensitivity: same bag of tokens, different order != same hash
+    df2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["rolling_hash"] for r in textstats.fingerprints(df2).collect()}
+    assert fps[0] != fps[1]
+
+
+# -------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, "image", b"\x01\x02\x03\x04payload0", (None, None, None, "image/png")),
+        (1, "image", b"another-image-payload", (None, None, None, "image/jpeg")),
+        (2, "video", b"vid", (640, 480, 95, "video/mp4")),
+        (3, "audio", b"aud", (None, None, None, "audio/wav")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_stub_raises(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_image_features(media_df, backend="stub").collect()
+    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def test_multimodal_fake_backend_plumbing(spark, media_df):
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.decode_image_features(media_df, backend="fake").collect()
+    }
+    assert set(feats) == {0, 1}  # images only
+    assert all(f["width"] >= 16 and f["height"] >= 16 for f in feats.values())
+    # deterministic
+    again = {
+        r["media_id"]: r
+        for r in multimodal.decode_image_features(media_df, backend="fake").collect()
+    }
+    assert {k: tuple(v) for k, v in feats.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    tensors = multimodal.resize_for_embed(media_df, backend="fake").collect()
+    assert all(len(t["tensor"]) == 16 for t in tensors)
+
+
+def test_multimodal_video_frame_expansion(spark, media_df):
+    frames = multimodal.sample_video_frames(
+        media_df, every_n=10, backend="fake"
+    ).collect()
+    assert len(frames) == 10  # 95 frames / every 10 -> 0,10,...,90
+    assert {f["media_id"] for f in frames} == {2}
+    assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])][:3] == [0, 10, 20]
