@@ -73,17 +73,21 @@ def main() -> None:
             "wand_topk",
             lambda: wand_topk(spark, segments, term_stats, manifest, qdf).collect(),
         )
-        # per-query latency (warm index): p50 over the gate set
+        # per-query serving latency (warm index): p50 over the gate set
+        # through the driver-local path (the reference's online-server
+        # analogue; a single-query Spark job would measure scheduler
+        # launch, not the engine)
+        from meme_search_engine_spark.query.serve import LocalSearcher
+
+        searcher = LocalSearcher(idx_dir)
+        searcher.search("term0001")  # warm
         lat = []
-        for qid, text, k in gate.GATE_QUERIES:
-            q1 = spark.createDataFrame(
-                [(qid, text, k)], "query_id int, text string, k int"
-            )
+        for _, text, k in gate.GATE_QUERIES:
             t0 = time.time()
-            wand_topk(spark, segments, term_stats, manifest, q1).collect()
+            searcher.search(text, k)
             lat.append(time.time() - t0)
         lat.sort()
-        extras["wand_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+        extras["serve_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
 
         timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect())
         timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect())

@@ -59,6 +59,43 @@ def varbyte_decode(data: bytes) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def varbyte_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> list[bytes]:
+    """Encode one flat value array into per-segment varbyte byte strings
+    in a single vectorized pass (segments = posting blocks).
+
+    Equivalent to ``[varbyte_encode(values[s:e]) for s, e in pairs]`` but
+    the per-value work is whole-array numpy; Python only slices bytes.
+    """
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    n = arr.size
+    if n == 0:
+        return []
+    lengths = np.ones(arr.shape, dtype=np.int64)
+    rest = arr >> np.uint64(7)
+    while rest.any():
+        lengths += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for b in range(_MAX_VARBYTE_LEN):
+        mask = lengths > b
+        if not mask.any():
+            break
+        chunk = (arr[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
+        cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
+        out[offsets[:-1][mask] + b] = chunk.astype(np.uint8) | cont
+    raw = out.tobytes()
+    seg_byte_bounds = offsets[
+        np.concatenate((seg_starts, [n])).astype(np.int64)
+    ]
+    return [
+        raw[seg_byte_bounds[i] : seg_byte_bounds[i + 1]]
+        for i in range(len(seg_starts))
+    ]
+
+
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
     """First value absolute, then successive differences.  Input must be
     sorted ascending (posting doc ids are)."""

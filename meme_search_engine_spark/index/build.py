@@ -34,12 +34,19 @@ def _extract_series(html: pd.Series) -> pd.Series:
 
 
 def _normalize_series(text: pd.Series) -> pd.Series:
-    return (
-        text.str.normalize("NFKD")
-        .str.encode("ascii", "ignore")
-        .str.decode("ascii")
-        .str.lower()
-    )
+    # fast path: NFKD-fold only the rows that need it (str.isascii is a
+    # cheap C call; NFKD over everything costs ~10x the whole tokenize)
+    mask = text.map(lambda s: s is not None and not s.isascii())
+    if mask.any():
+        folded = (
+            text[mask]
+            .str.normalize("NFKD")
+            .str.encode("ascii", "ignore")
+            .str.decode("ascii")
+        )
+        text = text.copy()
+        text[mask] = folded
+    return text.str.lower()
 
 
 # pandas_udf registration needs an active session -> wrap lazily.
@@ -55,16 +62,17 @@ def normalize_udf(col) -> Column:
     return F.pandas_udf(_normalize_series, "string")(col)
 
 
-def tokens_col(text: Column) -> Column:
-    """Tokenize a (already extracted) text column.
+def tokens_col(text: Column, assume_ascii: bool = False) -> Column:
+    """Tokenize a (already extracted) text column: Arrow-batched
+    normalizer (ascii fast-pathed inside the UDF — NB: a
+    when(ascii, jvm).otherwise(udf) would NOT skip the UDF, Spark
+    evaluates extracted Python UDFs for every row), then JVM regex
+    split + empty filter.  Semantics == common.textproc.tokenize.
 
-    The ascii fast path stays fully JVM-side: ``lower`` + regex
-    ``split`` + empty filter.  Non-ascii rows go through the Arrow
-    normalizer first.  Semantics == common.textproc.tokenize.
+    assume_ascii=True skips the normalizer entirely (pure JVM chain) —
+    byte-identical for ascii corpora; caller's contract to know.
     """
-    normalized = F.when(
-        text.rlike("^[\\x00-\\x7F]*$"), F.lower(text)
-    ).otherwise(normalize_udf(text))
+    normalized = F.lower(text) if assume_ascii else normalize_udf(text)
     return F.filter(
         F.split(normalized, "[^a-z0-9]+"), lambda t: t != F.lit("")
     )
@@ -98,13 +106,29 @@ def docs_from_pages(pages: DataFrame) -> DataFrame:
 
 
 def term_doc_tf(docs: DataFrame) -> DataFrame:
-    """docs -> tf(term, term_hash, doc_id, doc_len, tf).
+    """docs -> tf(term_hash, doc_id, doc_len, tf).
 
     ``explode`` + ``groupBy`` keeps everything in whole-stage codegen;
     Spark's hash aggregate does map-side partial aggregation before the
     shuffle, so the shuffle volume is per-(doc,term), not per-token.
-    doc_len is carried through the group key (functionally dependent on
-    doc_id — no extra join)."""
+    Terms are hashed BEFORE the aggregate: all-numeric group keys make
+    the hash agg + shuffle markedly cheaper than string keys, and the
+    engine is hash-addressed everywhere downstream (term strings never
+    leave the tokenizer).  doc_len is carried through the group key
+    (functionally dependent on doc_id — no extra join)."""
+    return (
+        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .select(
+            "doc_id", "doc_len", F.xxhash64("term").alias("term_hash")
+        )
+        .groupBy("doc_id", "doc_len", "term_hash")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def term_doc_tf_with_terms(docs: DataFrame) -> DataFrame:
+    """tf variant keeping the term string — for display/reporting
+    queries (e.g. top-df terms); the index itself never needs it."""
     return (
         docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "doc_len", "term")

@@ -33,10 +33,10 @@ from dataclasses import asdict
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .build import corpus_stats, docs_from_pages, term_doc_tf
+from .build import corpus_stats, docs_from_pages
 from .postings import (
     IndexConfig,
-    build_partials,
+    build_partials_from_docs,
     finalize_segments,
     part_col,
     term_stats_from_segments,
@@ -85,6 +85,26 @@ def completed_parts(spark: SparkSession, out_dir: str, snapshot: str) -> set[int
     return {r["part_id"] for r in rows}
 
 
+def _input_bytes(pages: DataFrame) -> int | None:
+    total = 0
+    files = pages.inputFiles()
+    if not files:
+        return None
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+# cache tokenized docs when the input is small enough that one executor
+# tier holds it; above this, accept re-tokenizing per pass (at 10^12
+# docs caching the token arrays would be petabytes)
+CACHE_DOCS_MAX_BYTES = 4 << 30
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -92,6 +112,7 @@ def build_index(
     cfg: IndexConfig = IndexConfig(),
     parts_per_batch: int | None = None,
     fail_after_batches: int | None = None,
+    cache_docs: bool | None = None,
 ) -> dict:
     """Resumable end-to-end index build.  Returns the manifest dict.
 
@@ -99,9 +120,19 @@ def build_index(
     one Spark job covers before the ledger commits (None = all pending
     in a single job; tests use 1 to exercise kill/resume).
     fail_after_batches: test hook — raise after N committed batches.
+    cache_docs: persist the tokenized docs between the stats pass and
+    the posting build (None = auto by input size) so the corpus is
+    tokenized once, not once per pass.
     """
     os.makedirs(out_dir, exist_ok=True)
     snapshot = input_snapshot(pages)
+
+    docs = docs_from_pages(pages)
+    if cache_docs is None:
+        size = _input_bytes(pages)
+        cache_docs = size is not None and size <= CACHE_DOCS_MAX_BYTES
+    if cache_docs:
+        docs = docs.persist()
 
     # ---- pass 0: corpus stats (skipped on resume) --------------------
     stats_path = os.path.join(out_dir, "stats.json")
@@ -114,7 +145,6 @@ def build_index(
                 f"{stats.get('input_snapshot')}, input is {snapshot}"
             )
     else:
-        docs = docs_from_pages(pages)
         stats = corpus_stats(docs)
         stats["input_snapshot"] = snapshot
         with open(stats_path, "w") as fh:
@@ -130,13 +160,12 @@ def build_index(
     while pending:
         batch = pending[:parts_per_batch]
         pending = pending[parts_per_batch:]
-        pages_b = pages.filter(part_col(F.col("doc_id"), cfg).isin(batch))
-        docs_b = docs_from_pages(pages_b)
-        tf_b = term_doc_tf(docs_b)
-        partials_b = build_partials(tf_b, stats["avgdl"], cfg)
+        # doc_id predicate commutes below the tokenize projection, so on
+        # the uncached path this prunes the SCAN to the batch's slice
+        docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
+        partials_b = build_partials_from_docs(docs_b, stats["avgdl"], cfg)
         (
-            partials_b.repartition("part_id")
-            .write.partitionBy("part_id")
+            partials_b.write.partitionBy("part_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(partials_dir)
@@ -186,6 +215,9 @@ def build_index(
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             raise InjectedFailure(f"injected failure after {batches_done} batches")
+
+    if cache_docs:
+        docs.unpersist()
 
     # ---- stage 2: concat-merge finalize ------------------------------
     partials = spark.read.parquet(partials_dir)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from ..common.bm25 import B, K1
 from ..common.codecs import (
     decode_postings_block,
-    encode_postings_block,
+    varbyte_encode_segmented,
 )
 
 BLOCK_SIZE = 128
@@ -76,54 +76,168 @@ def part_col(doc_id_col, cfg: IndexConfig):
     return F.pmod(salt_col(doc_id_col, cfg), F.lit(cfg.n_parts)).cast("int")
 
 
-def _make_block_builder(avgdl: float, cfg: IndexConfig):
-    """Grouped-map kernel: one (term_hash, salt) group -> block rows.
-    All numpy; no per-row Python."""
+def _encode_sorted_run(
+    pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig
+) -> pd.DataFrame:
+    """Encode a run of rows already sorted by (term_hash, salt,
+    unsigned doc_id) into block rows — MANY groups at once, fully
+    vectorized: group/block boundaries by diff, per-block delta reset,
+    one segmented varbyte pass per column, reduceat block maxes.
+    (This is why stage 1 is mapInPandas and not per-group
+    applyInPandas: tens of thousands of tiny pandas groups would pay
+    ~1 ms of per-group overhead each.)"""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    th = pdf["term_hash"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int64)
+    part_id = pdf["part_id"].to_numpy(np.int64)
+    ud = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    dls = pdf["doc_len"].to_numpy(np.int64)
+    raw_tf = (
+        pdf["tf"].to_numpy(np.int64)
+        if "tf" in pdf.columns
+        else np.ones(len(pdf), dtype=np.int64)
+    )
 
-    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        term_hash = int(pdf["term_hash"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
-        part_id = int(pdf["part_id"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        order = np.argsort(doc_ids.astype(np.uint64), kind="stable")
-        doc_ids = doc_ids[order]
-        tfs = pdf["tf"].to_numpy(np.int64)[order]
-        dls = pdf["doc_len"].to_numpy(np.int64)[order]
-        tf_norm = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        out = []
-        for i in range(0, len(doc_ids), bs):
-            d, t, l = doc_ids[i : i + bs], tfs[i : i + bs], dls[i : i + bs]
-            db, tb, lb = encode_postings_block(d, t, l)
-            out.append(
-                (
-                    part_id, term_hash, salt, i // bs, len(d),
-                    int(d[0]), int(d[-1]), db, tb, lb,
-                    float(tf_norm[i : i + bs].max()),
-                )
-            )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "part_id", "term_hash", "salt", "block_seq", "n_docs",
-                "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
-                "block_max_tfnorm",
-            ],
-        )
+    # collapse duplicate (term, salt, doc) runs into postings with
+    # summed tf — this is what lets the build skip the tf groupBy
+    # shuffle entirely and feed raw exploded tokens straight into the
+    # ONE (term_hash, salt) shuffle (identity when input is already tf)
+    nr = len(pdf)
+    posting_start = np.empty(nr, dtype=bool)
+    posting_start[0] = True
+    np.not_equal(th[1:], th[:-1], out=posting_start[1:])
+    np.logical_or(posting_start[1:], salt[1:] != salt[:-1], out=posting_start[1:])
+    np.logical_or(posting_start[1:], ud[1:] != ud[:-1], out=posting_start[1:])
+    ps = np.flatnonzero(posting_start)
+    tfs = np.add.reduceat(raw_tf, ps)
+    th = th[ps]
+    salt = salt[ps]
+    part_id = part_id[ps]
+    ud = ud[ps]
+    dls = dls[ps]
+    n = len(ps)
 
-    return build_blocks
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    np.not_equal(th[1:], th[:-1], out=new_group[1:])
+    np.logical_or(new_group[1:], salt[1:] != salt[:-1], out=new_group[1:])
+    group_start_idx = np.flatnonzero(new_group)
+    group_id = np.cumsum(new_group) - 1
+    pos_in_group = np.arange(n, dtype=np.int64) - group_start_idx[group_id]
+
+    is_block_start = (pos_in_group % bs) == 0
+    bstart = np.flatnonzero(is_block_start)
+    bend = np.concatenate((bstart[1:], [n])) - 1
+
+    # per-block delta coding: absolute at block starts, diffs inside
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = ud[0]
+    np.subtract(ud[1:], ud[:-1], out=deltas[1:])
+    deltas[bstart] = ud[bstart]
+
+    doc_bytes = varbyte_encode_segmented(deltas, bstart)
+    tf_bytes = varbyte_encode_segmented(tfs, bstart)
+    dl_bytes = varbyte_encode_segmented(dls, bstart)
+
+    tf_f = tfs.astype(np.float64)
+    tf_norm = tf_f / (tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl))
+    block_max = np.maximum.reduceat(tf_norm, bstart)
+
+    return pd.DataFrame(
+        {
+            "part_id": part_id[bstart].astype(np.int32),
+            "term_hash": th[bstart],
+            "salt": salt[bstart],
+            "block_seq": (pos_in_group[bstart] // bs).astype(np.int32),
+            "n_docs": (bend - bstart + 1).astype(np.int32),
+            "min_doc_id": ud[bstart].astype(np.int64),
+            "max_doc_id": ud[bend].astype(np.int64),
+            "doc_ids": doc_bytes,
+            "tfs": tf_bytes,
+            "dls": dl_bytes,
+            "block_max_tfnorm": block_max,
+        }
+    )
+
+
+def _make_partials_kernel(avgdl: float, cfg: IndexConfig):
+    """mapInPandas kernel over a partition sorted by (term_hash, salt,
+    unsigned doc_id).  Arrow batches can split a group, so the trailing
+    (possibly incomplete) group of each batch is carried into the next;
+    carry size is bounded by the salt range (<= 2^salt_shift rows)."""
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat((carry, pdf), ignore_index=True)
+            if not len(pdf):
+                continue
+            th = pdf["term_hash"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            tail = (th == th[-1]) & (salt == salt[-1])
+            nz = np.flatnonzero(~tail)
+            cut = int(nz[-1] + 1) if nz.size else 0
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield _encode_sorted_run(pdf.iloc[:cut], avgdl, cfg)
+        if carry is not None and len(carry):
+            yield _encode_sorted_run(carry, avgdl, cfg)
+
+    return kernel
+
+
+def _udoc_col():
+    """Unsigned total order for int64 doc ids: flip the sign bit."""
+    return F.col("doc_id").bitwiseXOR(F.lit(-(2**63)))
 
 
 def build_partials(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
     """tf(term_hash, doc_id, doc_len, tf) -> partial block rows.
 
-    The ONE big shuffle of the build: hash-partition by
-    (term_hash, salt).  Skew-bounded per the module docstring."""
-    salted = tf.withColumn("salt", salt_col(F.col("doc_id"), cfg)).withColumn(
-        "part_id", part_col(F.col("doc_id"), cfg)
+    The ONE big shuffle of the build: hash-repartition by (term_hash,
+    salt) + partition-local sort, then a batch-vectorized mapInPandas
+    encoder.  Skew-bounded per the module docstring; per-group Python
+    overhead avoided entirely (see _encode_sorted_run)."""
+    salted = (
+        tf.withColumn("salt", salt_col(F.col("doc_id"), cfg))
+        .withColumn("part_id", part_col(F.col("doc_id"), cfg))
+        .withColumn("_udoc", _udoc_col())
     )
-    return salted.groupBy("term_hash", "salt").applyInPandas(
-        _make_block_builder(avgdl, cfg), PARTIALS_SCHEMA
+    return (
+        salted.repartition("term_hash", "salt")
+        .sortWithinPartitions("term_hash", "salt", "_udoc")
+        .mapInPandas(_make_partials_kernel(avgdl, cfg), PARTIALS_SCHEMA)
+    )
+
+
+def build_partials_from_docs(
+    docs: DataFrame, avgdl: float, cfg: IndexConfig
+) -> DataFrame:
+    """docs(doc_id, doc_len, tokens) -> partial block rows, single
+    shuffle: exploded tokens go STRAIGHT into the (term_hash, salt)
+    repartition; the encoder's run-length collapse computes tf.
+
+    This skips the per-(doc,term) groupBy a textbook build would do —
+    at web scale that groupBy is a full extra shuffle of ~the token
+    stream for a ~8% row reduction (tf is 1 for most (term,doc) pairs).
+    """
+    tok = docs.select(
+        "doc_id",
+        "doc_len",
+        F.explode("tokens").alias("term"),
+    ).select(
+        F.xxhash64("term").alias("term_hash"),
+        "doc_id",
+        "doc_len",
+        salt_col(F.col("doc_id"), cfg).alias("salt"),
+        part_col(F.col("doc_id"), cfg).alias("part_id"),
+        _udoc_col().alias("_udoc"),
+    )
+    return (
+        tok.repartition("term_hash", "salt")
+        .sortWithinPartitions("term_hash", "salt", "_udoc")
+        .mapInPandas(_make_partials_kernel(avgdl, cfg), PARTIALS_SCHEMA)
     )
 
 

@@ -99,8 +99,8 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col).cast("binary")).alias("content_md5"),
         tokens_col(F.col(text_col)).alias("_toks"),
     )
-    MOD = np.uint64((1 << 61) - 1)
-    BASE = np.uint64(1_000_003)
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
 
     def kernel(batches):
         from ..common.hashing import xxh64_bytes
@@ -108,11 +108,12 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out = []
             for toks in pdf["_toks"]:
-                h = np.uint64(0)
+                # arbitrary-precision ints: h*BASE (~2^81) would wrap a
+                # uint64 before the mod
+                h = 0
                 for t in toks:
-                    th = np.uint64(xxh64_bytes(t.encode(), 0) % int(MOD))
-                    h = (h * BASE + th) % MOD
-                out.append(int(h))
+                    h = (h * BASE + xxh64_bytes(t.encode(), 0) % MOD) % MOD
+                out.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

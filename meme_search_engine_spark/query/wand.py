@@ -48,7 +48,15 @@ def _decode_block(doc_ids_b, tfs_b, dls_b):
     return d, varbyte_decode(tfs_b), varbyte_decode(dls_b)
 
 
-def _make_wand_kernel(n_docs: int, avgdl: float, k1: float, b: float):
+def score_query_blocks(
+    pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float, b: float
+) -> pd.DataFrame:
+    """Block-max WAND scoring of ONE query's candidate blocks.
+
+    pdf columns: query_id, k, term_hash, df, block_id, n_docs,
+    min_doc_id, max_doc_id, doc_ids, tfs, dls, block_max_tfnorm.
+    Shared by the distributed grouped-map path (wand_topk) and the
+    driver-local serving path (query.serve.LocalSearcher)."""
     two32 = float(FIXED_POINT_SCALE)
 
     def contribs_fixed(idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
@@ -58,95 +66,49 @@ def _make_wand_kernel(n_docs: int, avgdl: float, k1: float, b: float):
         contrib = idf * (k1 + 1.0) * tf_norm
         return np.floor(contrib * two32 + 0.5).astype(np.int64)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = int(pdf["query_id"].iloc[0])
-        k = int(pdf["k"].iloc[0])
-        # per-term block tables, ordered by block_id (range-disjoint asc)
-        terms = []
-        for th, g in pdf.groupby("term_hash"):
-            g = g.sort_values("block_id")
-            df_t = int(g["df"].iloc[0])
-            idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-            ub = (
-                idf * (k1 + 1.0) * g["block_max_tfnorm"].to_numpy(np.float64)
-            )
-            ub_fixed = np.floor(ub * two32 + 0.5).astype(np.int64)
-            terms.append(
-                {
-                    "idf": idf,
-                    "lo": g["min_doc_id"].to_numpy(np.int64).astype(np.uint64),
-                    "hi": g["max_doc_id"].to_numpy(np.int64).astype(np.uint64),
-                    "ub": ub_fixed,
-                    "n": g["n_docs"].to_numpy(np.int64),
-                    "doc_ids": g["doc_ids"].tolist(),
-                    "tfs": g["tfs"].tolist(),
-                    "dls": g["dls"].tolist(),
-                }
-            )
+    query_id = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    # per-term block tables, ordered by block_id (range-disjoint asc)
+    terms = []
+    for th, g in pdf.groupby("term_hash"):
+        g = g.sort_values("block_id")
+        df_t = int(g["df"].iloc[0])
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        ub = (
+            idf * (k1 + 1.0) * g["block_max_tfnorm"].to_numpy(np.float64)
+        )
+        ub_fixed = np.floor(ub * two32 + 0.5).astype(np.int64)
+        terms.append(
+            {
+                "idf": idf,
+                "lo": g["min_doc_id"].to_numpy(np.int64).astype(np.uint64),
+                "hi": g["max_doc_id"].to_numpy(np.int64).astype(np.uint64),
+                "ub": ub_fixed,
+                "n": g["n_docs"].to_numpy(np.int64),
+                "doc_ids": g["doc_ids"].tolist(),
+                "tfs": g["tfs"].tolist(),
+                "dls": g["dls"].tolist(),
+            }
+        )
 
-        # ---- phase 1: θ seed from the highest-ub blocks (exact partial
-        # sums are valid lower bounds)
-        flat = [
-            (t_i, b_i, int(t["ub"][b_i]), int(t["n"][b_i]))
-            for t_i, t in enumerate(terms)
-            for b_i in range(len(t["ub"]))
-        ]
-        flat.sort(key=lambda x: -x[2])
-        seed, covered = [], 0
-        for t_i, b_i, _, n in flat:
-            seed.append((t_i, b_i))
-            covered += n
-            if covered >= 2 * k:
-                break
-        theta = 0
-        if seed:
-            ids_parts, c_parts = [], []
-            for t_i, b_i in seed:
-                t = terms[t_i]
-                d, tfs, dls = _decode_block(
-                    t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
-                )
-                ids_parts.append(d)
-                c_parts.append(contribs_fixed(t["idf"], tfs, dls))
-            ids = np.concatenate(ids_parts)
-            cs = np.concatenate(c_parts)
-            uniq, inv = np.unique(ids, return_inverse=True)
-            sums = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(sums, inv, cs)
-            if len(sums) >= k:
-                theta = int(np.partition(sums, -k)[-k])
-
-        # ---- phase 2: block-max pruning with doc-range-aware bounds
-        survivors: list[tuple[int, int]] = []
-        for t_i, t in enumerate(terms):
-            bound = t["ub"].astype(np.int64).copy()
-            for o_i, o in enumerate(terms):
-                if o_i == t_i:
-                    continue
-                # o's blocks overlapping [lo, hi] of each block of t
-                s = np.searchsorted(o["hi"], t["lo"], side="left")
-                e = np.searchsorted(o["lo"], t["hi"], side="right")
-                add = np.zeros(len(bound), dtype=np.int64)
-                for j in range(len(bound)):
-                    if s[j] < e[j]:
-                        add[j] = int(o["ub"][s[j] : e[j]].max())
-                bound += add
-            for b_i in np.flatnonzero(bound >= theta):
-                survivors.append((t_i, int(b_i)))
-
-        if not survivors:
-            return pd.DataFrame(
-                columns=["query_id", "rank", "doc_id", "score_fixed", "score"]
-            ).astype(
-                {
-                    "query_id": "int32", "rank": "int32", "doc_id": "int64",
-                    "score_fixed": "int64", "score": "float64",
-                }
-            )
-
-        # ---- phase 3: exact scoring of surviving blocks
+    # ---- phase 1: θ seed from the highest-ub blocks (exact partial
+    # sums are valid lower bounds)
+    flat = [
+        (t_i, b_i, int(t["ub"][b_i]), int(t["n"][b_i]))
+        for t_i, t in enumerate(terms)
+        for b_i in range(len(t["ub"]))
+    ]
+    flat.sort(key=lambda x: -x[2])
+    seed, covered = [], 0
+    for t_i, b_i, _, n in flat:
+        seed.append((t_i, b_i))
+        covered += n
+        if covered >= 2 * k:
+            break
+    theta = 0
+    if seed:
         ids_parts, c_parts = [], []
-        for t_i, b_i in survivors:
+        for t_i, b_i in seed:
             t = terms[t_i]
             d, tfs, dls = _decode_block(
                 t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
@@ -158,19 +120,63 @@ def _make_wand_kernel(n_docs: int, avgdl: float, k1: float, b: float):
         uniq, inv = np.unique(ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sums, inv, cs)
-        # top-k by (-score, doc_id): lexsort is stable
-        order = np.lexsort((uniq, -sums))[:k]
+        if len(sums) >= k:
+            theta = int(np.partition(sums, -k)[-k])
+
+    # ---- phase 2: block-max pruning with doc-range-aware bounds
+    survivors: list[tuple[int, int]] = []
+    for t_i, t in enumerate(terms):
+        bound = t["ub"].astype(np.int64).copy()
+        for o_i, o in enumerate(terms):
+            if o_i == t_i:
+                continue
+            # o's blocks overlapping [lo, hi] of each block of t
+            s = np.searchsorted(o["hi"], t["lo"], side="left")
+            e = np.searchsorted(o["lo"], t["hi"], side="right")
+            add = np.zeros(len(bound), dtype=np.int64)
+            for j in range(len(bound)):
+                if s[j] < e[j]:
+                    add[j] = int(o["ub"][s[j] : e[j]].max())
+            bound += add
+        for b_i in np.flatnonzero(bound >= theta):
+            survivors.append((t_i, int(b_i)))
+
+    if not survivors:
         return pd.DataFrame(
+            columns=["query_id", "rank", "doc_id", "score_fixed", "score"]
+        ).astype(
             {
-                "query_id": np.full(len(order), query_id, np.int32),
-                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
-                "doc_id": uniq[order],
-                "score_fixed": sums[order],
-                "score": sums[order] / two32,
+                "query_id": "int32", "rank": "int32", "doc_id": "int64",
+                "score_fixed": "int64", "score": "float64",
             }
         )
 
-    return kernel
+    # ---- phase 3: exact scoring of surviving blocks
+    ids_parts, c_parts = [], []
+    for t_i, b_i in survivors:
+        t = terms[t_i]
+        d, tfs, dls = _decode_block(
+            t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
+        )
+        ids_parts.append(d)
+        c_parts.append(contribs_fixed(t["idf"], tfs, dls))
+    ids = np.concatenate(ids_parts)
+    cs = np.concatenate(c_parts)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, cs)
+    # top-k by (-score, doc_id): lexsort is stable
+    order = np.lexsort((uniq, -sums))[:k]
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(order), query_id, np.int32),
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": uniq[order],
+            "score_fixed": sums[order],
+            "score": sums[order] / two32,
+        }
+    )
+
 
 
 def wand_topk(
@@ -202,7 +208,9 @@ def wand_topk(
         "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
         "block_max_tfnorm",
     )
-    kernel = _make_wand_kernel(
-        stats["N"], stats["avgdl"], cfg["k1"], cfg["b"]
-    )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_query_blocks(
+            pdf, stats["N"], stats["avgdl"], cfg["k1"], cfg["b"]
+        )
+
     return blocks.groupBy("query_id").applyInPandas(kernel, RESULT_SCHEMA)

@@ -32,12 +32,29 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sized for the posting-build kernel: bigger batches amortize
+        # per-batch pandas/concat overhead; ~64k rows x ~48 B is still
+        # only ~3 MB per in-flight batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Local benches read multi-MB (not multi-GB) inputs: with the
+        # 128 MB default the whole corpus packs into 1-2 input splits
+        # and the tokenize stage runs on 1-2 cores no matter what
+        # local[N] says.  8 MB keeps small corpora parallel; a real
+        # cluster with real file sizes should raise this back (env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # make the package importable in Python UDF workers regardless of
+    # the driver's cwd (== spark-submit --py-files)
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
     return spark

@@ -131,7 +131,9 @@ def test_cosine_gemm_matches_exact(spark, emb_df):
     assert set(exact) == set(gemm)
     for key in exact:
         assert exact[key][0] == gemm[key][0], key  # same ids, same order
-        assert exact[key][1] == pytest.approx(gemm[key][1], abs=1e-9)
+        # JVM fold multiplies float32 pairs; the GEMM path works in
+        # float64 — scores agree to ~1e-7, not bit-exactly
+        assert exact[key][1] == pytest.approx(gemm[key][1], abs=1e-6)
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb_df):

@@ -1,0 +1,62 @@
+"""Driver-local serving path: identical results to the oracle, at
+interactive latency (SURVEY.md §3.2 analogue)."""
+
+import time
+
+import pytest
+
+from meme_search_engine_spark.datagen import ensure_corpus, generate_queries
+from meme_search_engine_spark.index.builder import build_index
+from meme_search_engine_spark.index.postings import IndexConfig
+from meme_search_engine_spark.oracle import OracleIndex
+from meme_search_engine_spark.query.serve import LocalSearcher
+
+N_DOCS = 500
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("serve")
+    pages_dir, _ = ensure_corpus(str(base), N_DOCS)
+    out = str(base / "idx")
+    build_index(
+        spark,
+        spark.read.parquet(pages_dir),
+        out,
+        IndexConfig(salt_shift=7, n_buckets=8, n_parts=2, block_size=32),
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{pages_dir}/*.parquet' ORDER BY doc_id"
+    ).fetchall()
+    return out, OracleIndex.build(rows)
+
+
+def test_local_searcher_rank_identity(built):
+    index_dir, oracle = built
+    searcher = LocalSearcher(index_dir)
+    for q in generate_queries(N_DOCS):
+        got = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in searcher.search(q["text"], q["k"])
+        ]
+        expected = [
+            (rank, doc_id, sf)
+            for rank, doc_id, sf, _ in oracle.topk(q["text"], q["k"])
+        ]
+        assert got == expected, q["text"]
+
+
+def test_local_searcher_latency(built):
+    index_dir, _ = built
+    searcher = LocalSearcher(index_dir)
+    searcher.search("term0001 term0100")  # warm
+    lat = []
+    for i in range(20):
+        t0 = time.time()
+        searcher.search(f"term{i:04d} term{(i * 37) % 3000:04d}", 10)
+        lat.append(time.time() - t0)
+    lat.sort()
+    # interactive: p50 well under the Spark job-launch floor
+    assert lat[10] < 0.5, lat

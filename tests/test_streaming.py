@@ -26,7 +26,11 @@ def events_dir(spark, sf001_dir, tmp_path):
 
 def _read_stream(spark, path):
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    df = spark.readStream.schema(schema).parquet(path)
+    # watermarks need TIMESTAMP (ltz); parquet testdata stores NTZ
+    if "ts" in df.columns:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def test_windowed_agg_stream_equals_batch(spark, events_dir, tmp_path):
