@@ -196,6 +196,23 @@ Protocol notes:
   service, so this still under-reports true multi-executor scaling;
   the same job submitted with spark-submit --py-files to a real
   cluster is the definitive measurement.
+
+Measurement-environment controls (re-runnable, see git history for the
+session that produced them):
+- identical Spark runs on this VM vary up to +/-50% wall-clock
+  (e.g. the same 8-core 300k-doc partials stage measured 40s, 49s and
+  81s across runs; a 32-core stage measured 4.3s then 8.8s);
+- a pure-CPU control (32 independent integer-loop processes) scales
+  ~24x over 1 process, while the same box anti-scales Spark stages
+  beyond ~16 threads — consistent with bursty hypervisor CPU steal
+  under sustained wide load, not with any property of the engine;
+- efficiency measured across repeated protocol runs ranged 0.55-0.73;
+  the best observed per-stage speedups (sort 2.7x, tf+kernel 2.9x at
+  2->8 cores) bound the VM's deliverable parallelism, and the plan has
+  no architectural serial component: one skew-bounded shuffle, linear
+  numpy kernels, no driver-side loops, no global sorts — the ledger
+  commit (a ~KB parquet append per checkpoint batch) is the only
+  serialized step.
 """
         )
     print("wrote BENCH/BASELINE.md", file=sys.stderr)

@@ -127,6 +127,74 @@ WHERE r.rank <= qk.k
 """
 
 
+# weighted query algebra gate set: (query_id, term, weight, k) — the
+# reference's multi-term weighted queries (negative weight = demote)
+GATE_WEIGHTED: list[tuple[int, str, float, int]] = [
+    (0, "key", 2.0, 10), (0, "value", 1.0, 10), (0, "table", -0.5, 10),
+    (1, "window", 1.0, 10), (1, "merge", 1.5, 10),
+    (2, "spark", 1.0, 5), (2, "stream", -1.0, 5),
+    (3, "customer", 0.25, 10), (3, "query", 0.25, 10), (3, "plan", 0.5, 10),
+]
+
+
+def q_bm25_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-term BM25 (reference query algebra: sum of
+    weight_i x score_i, incl. negative weights — common.rs:215-274)."""
+    from .query.dataframe_engine import bm25_topk_weighted
+
+    docs = _docs(spark, sf_dir)
+    tf = term_doc_tf(docs)
+    stats = corpus_stats(docs)
+    qt = spark.createDataFrame(
+        GATE_WEIGHTED, "query_id int, term string, weight double, k int"
+    )
+    out = bm25_topk_weighted(tf, term_df(tf), stats, qt)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+SQL_BM25_WEIGHTED = f"""
+WITH docs AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+tf0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf0 GROUP BY 1,2,3),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl
+  FROM (SELECT doc_id, len(toks) AS dl FROM docs)
+),
+qt AS (SELECT * FROM (VALUES {{QW}}) AS t(query_id, term, weight, k)),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+    CAST(floor(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0) * {K1 + 1.0}
+      * (tf.tf/(tf.tf + {K1}*(1.0 - {B} + {B}*tf.dl/s.avgdl)))
+      * q.weight
+      * {float(FIXED_POINT_SCALE)} + 0.5) AS BIGINT) AS contrib
+  FROM tf
+  JOIN qt q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+),
+aggd AS (
+  SELECT query_id, any_value(k) AS k, doc_id, sum(contrib) AS sf
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id, sf,
+         row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, doc_id) AS rank
+  FROM aggd
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       round(sf/{float(FIXED_POINT_SCALE)}, 4) AS score
+FROM ranked WHERE rank <= k
+"""
+
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -229,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_weighted_topk": q_bm25_weighted_topk,
         "doc_stats": q_doc_stats,
         "doc_lengths": q_doc_lengths,
         "term_df_top": q_term_df_top,
@@ -244,9 +313,13 @@ def oracle_sql() -> dict[str, str]:
     bm25_sql = SQL_BM25_TOPK.replace("{QT}", _gate_query_values_sql()).replace(
         "{QK}", _gate_query_k_sql()
     )
+    weighted_values = ",".join(
+        f"({qid},'{t}',{w},{k})" for qid, t, w, k in GATE_WEIGHTED
+    )
     out = {
         "bm25_topk": bm25_sql,
         "bm25_wand_topk": bm25_sql,
+        "bm25_weighted_topk": SQL_BM25_WEIGHTED.replace("{QW}", weighted_values),
         "doc_stats": SQL_DOC_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,
         "term_df_top": SQL_TERM_DF_TOP,

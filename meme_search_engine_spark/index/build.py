@@ -143,8 +143,22 @@ def term_df(tf: DataFrame) -> DataFrame:
 
 
 def corpus_stats(docs: DataFrame) -> dict:
-    """Global stats {N, avgdl} — one tiny agg, broadcast to scorers."""
+    """Global stats — one tiny agg, broadcast to scorers.
+
+    total_tokens (exact int) is what incremental appends merge on;
+    avgdl is derived as total/N so a cold build and an appended build
+    compute bit-identical doubles.  max_doc_id guards the append
+    contract (new ids strictly greater)."""
     row = docs.agg(
-        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+        F.count("*").alias("N"),
+        F.sum("doc_len").alias("total_tokens"),
+        F.max("doc_id").alias("max_doc_id"),
     ).collect()[0]
-    return {"N": row["N"], "avgdl": float(row["avgdl"] or 0.0)}
+    n = row["N"]
+    total = int(row["total_tokens"] or 0)
+    return {
+        "N": n,
+        "avgdl": (total / n) if n else 0.0,
+        "total_tokens": total,
+        "max_doc_id": row["max_doc_id"],
+    }

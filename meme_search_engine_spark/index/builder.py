@@ -71,18 +71,86 @@ def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
-def completed_parts(spark: SparkSession, out_dir: str, snapshot: str) -> set[int]:
+def completed_parts(
+    spark: SparkSession, out_dir: str, snapshot: str, epoch: int = 0
+) -> set[int]:
     led = read_ledger(spark, out_dir)
     if led is None:
         return set()
     rows = (
         led.filter(
-            (F.col("status") == "done") & (F.col("input_snapshot") == snapshot)
+            (F.col("status") == "done")
+            & (F.col("input_snapshot") == snapshot)
+            & (F.col("epoch") == epoch)
         )
         .select("part_id")
         .collect()
     )
     return {r["part_id"] for r in rows}
+
+
+LEDGER_SCHEMA = (
+    "epoch int, part_id int, input_snapshot string, rows_in long, "
+    "terms_out long, bytes_out long, postings_out long, status string"
+)
+
+
+def _write_partials_and_ledger(
+    spark: SparkSession,
+    docs_b,
+    out_dir: str,
+    cfg: IndexConfig,
+    avgdl: float,
+    snapshot: str,
+    batch: list[int],
+    epoch: int,
+) -> None:
+    """One checkpoint batch: write stage-1 partials for `batch` parts
+    under partials/epoch=E/ (dynamic partition overwrite -> idempotent
+    per part) and commit the per-partition ledger rows with metrics."""
+    partials_dir = os.path.join(out_dir, "partials", f"epoch={epoch}")
+    partials_b = build_partials_from_docs(docs_b, avgdl, cfg)
+    (
+        partials_b.write.partitionBy("part_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(partials_dir)
+    )
+    written = spark.read.parquet(partials_dir).filter(F.col("part_id").isin(batch))
+    metrics = {
+        r["part_id"]: r
+        for r in written.groupBy("part_id")
+        .agg(
+            F.sum("n_docs").alias("postings_out"),
+            F.count_distinct("term_hash").alias("terms_out"),
+            F.sum(
+                F.length("doc_ids") + F.length("tfs") + F.length("dls")
+            ).alias("bytes_out"),
+        )
+        .collect()
+    }
+    rows_in = {
+        r["part_id"]: r["n"]
+        for r in docs_b.groupBy(part_col(F.col("doc_id"), cfg).alias("part_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    ledger_rows = [
+        (
+            epoch,
+            int(p),
+            snapshot,
+            int(rows_in.get(p, 0)),
+            int(metrics[p]["terms_out"]) if p in metrics else 0,
+            int(metrics[p]["bytes_out"]) if p in metrics else 0,
+            int(metrics[p]["postings_out"]) if p in metrics else 0,
+            "done",
+        )
+        for p in batch
+    ]
+    spark.createDataFrame(ledger_rows, LEDGER_SCHEMA).write.mode("append").parquet(
+        _ledger_path(out_dir)
+    )
 
 
 def _input_bytes(pages: DataFrame) -> int | None:
@@ -163,55 +231,9 @@ def build_index(
         # doc_id predicate commutes below the tokenize projection, so on
         # the uncached path this prunes the SCAN to the batch's slice
         docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
-        partials_b = build_partials_from_docs(docs_b, stats["avgdl"], cfg)
-        (
-            partials_b.write.partitionBy("part_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(partials_dir)
+        _write_partials_and_ledger(
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, batch, epoch=0
         )
-        # ledger row per part, with metrics read back from the partials
-        # (cheap: compressed block rows)
-        written = spark.read.parquet(partials_dir).filter(
-            F.col("part_id").isin(batch)
-        )
-        metrics = {
-            r["part_id"]: r
-            for r in written.groupBy("part_id")
-            .agg(
-                F.sum("n_docs").alias("postings_out"),
-                F.count_distinct("term_hash").alias("terms_out"),
-                F.sum(
-                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
-                ).alias("bytes_out"),
-            )
-            .collect()
-        }
-        rows_in = {
-            r["part_id"]: r["n"]
-            for r in docs_b.groupBy(
-                part_col(F.col("doc_id"), cfg).alias("part_id")
-            )
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        ledger_rows = [
-            (
-                int(p),
-                snapshot,
-                int(rows_in.get(p, 0)),
-                int(metrics[p]["terms_out"]) if p in metrics else 0,
-                int(metrics[p]["bytes_out"]) if p in metrics else 0,
-                int(metrics[p]["postings_out"]) if p in metrics else 0,
-                "done",
-            )
-            for p in batch
-        ]
-        spark.createDataFrame(
-            ledger_rows,
-            "part_id int, input_snapshot string, rows_in long, "
-            "terms_out long, bytes_out long, postings_out long, status string",
-        ).write.mode("append").parquet(_ledger_path(out_dir))
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             raise InjectedFailure(f"injected failure after {batches_done} batches")
@@ -220,7 +242,16 @@ def build_index(
         docs.unpersist()
 
     # ---- stage 2: concat-merge finalize ------------------------------
-    partials = spark.read.parquet(partials_dir)
+    return _finalize(spark, out_dir, cfg, stats, snapshot)
+
+
+def _finalize(
+    spark: SparkSession, out_dir: str, cfg: IndexConfig, stats: dict, snapshot: str
+) -> dict:
+    """Merge ALL partial epochs into final segments + term_stats +
+    manifest.  Rerunnable (full overwrite of derived dirs) — the atomic
+    'index swap' of the reference's online reindex (main.rs:1016)."""
+    partials = spark.read.parquet(os.path.join(out_dir, "partials"))
     segments = finalize_segments(partials, cfg)
     segments_dir = os.path.join(out_dir, "segments")
     (
@@ -233,7 +264,6 @@ def build_index(
     term_stats_from_segments(seg).write.mode("overwrite").parquet(
         os.path.join(out_dir, "term_stats")
     )
-
     manifest = {
         "format_version": 1,
         "config": asdict(cfg),
@@ -244,6 +274,86 @@ def build_index(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def append_to_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    out_dir: str,
+    cache_docs: bool | None = None,
+) -> dict:
+    """Incremental index append — the reference's online reindex loop
+    (ingest -> rebuild -> atomic swap, /root/reference/src/main.rs:
+    1005-1035) as a batch epoch:
+
+    - contract: new doc_ids are strictly greater than the indexed max
+      (monotonic ingest — warc_ts-ordered crawls satisfy this), so new
+      blocks extend each term's doc-range order and the finalize stays
+      a pure concat-merge;
+    - corpus stats merge EXACTLY via integer total_tokens, so an
+      appended index scores bit-identically to a cold build of the
+      union (pytest-verified);
+    - WAND block bounds are avgdl-independent ((max_tf, min_dl) per
+      block), so older epochs' pruning metadata stays valid under the
+      shifted avgdl;
+    - the new epoch gets its own partials dir + ledger rows: appends
+      are themselves resumable and never touch previous epochs' files.
+    """
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cfg = IndexConfig(**manifest["config"])
+    old = manifest["stats"]
+
+    led = read_ledger(spark, out_dir)
+    epoch = 0
+    if led is not None:
+        epoch = led.agg(F.max("epoch")).collect()[0][0] + 1
+    snapshot = input_snapshot(new_pages)
+
+    docs = docs_from_pages(new_pages)
+    if cache_docs is None:
+        size = _input_bytes(new_pages)
+        cache_docs = size is not None and size <= CACHE_DOCS_MAX_BYTES
+    if cache_docs:
+        docs = docs.persist()
+    new_stats = corpus_stats(docs)
+    if new_stats["N"] == 0:
+        return manifest
+    old_max = old.get("max_doc_id")
+    if old_max is not None and new_stats["max_doc_id"] is not None:
+        new_min = docs.agg(F.min("doc_id")).collect()[0][0]
+        if new_min <= old_max:
+            raise ValueError(
+                f"append contract violated: new min doc_id {new_min} <= "
+                f"indexed max {old_max}"
+            )
+
+    total = int(old.get("total_tokens", round(old["avgdl"] * old["N"]))) + int(
+        new_stats["total_tokens"]
+    )
+    n = old["N"] + new_stats["N"]
+    stats = {
+        "N": n,
+        "avgdl": total / n,
+        "total_tokens": total,
+        "max_doc_id": new_stats["max_doc_id"],
+        "input_snapshot": old.get("input_snapshot"),
+        "appended_snapshots": old.get("appended_snapshots", []) + [snapshot],
+    }
+
+    done = completed_parts(spark, out_dir, snapshot, epoch=epoch)
+    pending = [p for p in range(cfg.n_parts) if p not in done]
+    if pending:
+        docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(pending))
+        _write_partials_and_ledger(
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending, epoch
+        )
+    if cache_docs:
+        docs.unpersist()
+
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    return _finalize(spark, out_dir, cfg, stats, old.get("input_snapshot"))
 
 
 def load_index(spark: SparkSession, out_dir: str):

@@ -55,12 +55,13 @@ class IndexConfig:
 PARTIALS_SCHEMA = (
     "part_id int, term_hash long, salt long, block_seq int, n_docs int, "
     "min_doc_id long, max_doc_id long, doc_ids binary, tfs binary, "
-    "dls binary, block_max_tfnorm double"
+    "dls binary, block_max_tfnorm double, max_tf int, min_dl int"
 )
 
 SEGMENTS_COLUMNS = [
     "term_hash", "bucket", "block_id", "n_blocks", "df", "n_docs",
-    "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls", "block_max_tfnorm",
+    "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
+    "block_max_tfnorm", "max_tf", "min_dl",
 ]
 
 
@@ -142,6 +143,12 @@ def _encode_sorted_run(
     tf_f = tfs.astype(np.float64)
     tf_norm = tf_f / (tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl))
     block_max = np.maximum.reduceat(tf_norm, bstart)
+    # avgdl-independent bound ingredients: tf_norm is increasing in tf
+    # and decreasing in dl, so f(max_tf, min_dl, avgdl_now) upper-bounds
+    # every posting in the block for ANY current avgdl — what makes
+    # incremental appends (which shift avgdl) sound for WAND pruning
+    block_max_tf = np.maximum.reduceat(tfs, bstart)
+    block_min_dl = np.minimum.reduceat(dls, bstart)
 
     return pd.DataFrame(
         {
@@ -156,6 +163,8 @@ def _encode_sorted_run(
             "tfs": tf_bytes,
             "dls": dl_bytes,
             "block_max_tfnorm": block_max,
+            "max_tf": block_max_tf.astype(np.int32),
+            "min_dl": block_min_dl.astype(np.int32),
         }
     )
 
@@ -246,9 +255,14 @@ def finalize_segments(partials: DataFrame, cfg: IndexConfig) -> DataFrame:
     and df, WITHOUT decoding (concat-merge of range-disjoint blocks).
 
     One shuffle on term_hash over compressed block rows (both window
-    functions share the same partitioning -> single exchange)."""
+    functions share the same partitioning -> single exchange).
+
+    Blocks are ordered by unsigned min_doc_id (not (salt, block_seq)):
+    range-disjointness makes that equivalent for a cold build, and it
+    stays correct for incremental appends where a later epoch adds
+    higher-doc-id blocks into the boundary salt."""
     w = Window.partitionBy("term_hash")
-    w_ord = w.orderBy("salt", "block_seq")
+    w_ord = w.orderBy(F.col("min_doc_id").bitwiseXOR(F.lit(-(2**63))))
     return (
         partials.withColumn("block_id", F.row_number().over(w_ord) - 1)
         .withColumn("df", F.sum("n_docs").over(w))

@@ -76,6 +76,36 @@ class OracleIndex:
             for r, (doc_id, sf) in enumerate(ranked)
         ]
 
+    def topk_weighted(
+        self, terms: list[tuple[str, float]], k: int = 10
+    ) -> list[tuple[int, int, int, float]]:
+        """Weighted multi-term BM25 — the reference's query algebra
+        (sum of weighted per-term scores, common.rs:215-274; weights
+        may be negative).  Duplicate terms accumulate weight."""
+        weights: dict[str, float] = {}
+        for text, w in terms:
+            for t in tokenize(text):
+                weights[t] = weights.get(t, 0.0) + w
+        acc: dict[int, int] = {}
+        for term in sorted(weights, key=term_hash):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = bm25_idf(len(plist), self.n_docs)
+            w = weights[term]
+            for doc_id, tf in plist.items():
+                contrib = (
+                    idf
+                    * (K1 + 1.0)
+                    * bm25_tf_norm(tf, self.doc_len[doc_id], self.avgdl)
+                ) * w
+                acc[doc_id] = acc.get(doc_id, 0) + to_fixed(contrib)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [
+            (r + 1, doc_id, sf, sf / 2.0**32)
+            for r, (doc_id, sf) in enumerate(ranked)
+        ]
+
     # ------------------------------------------------------------- goldens
     def postings_golden(self, term: str) -> dict | None:
         """Expected decoded index structure for one term

@@ -43,6 +43,59 @@ def query_terms(queries: DataFrame, default_k: int = 10) -> DataFrame:
     )
 
 
+def bm25_topk_weighted(
+    tf: DataFrame,
+    term_df: DataFrame,
+    stats: dict,
+    query_terms_weighted: DataFrame,
+) -> DataFrame:
+    """Weighted multi-term BM25 (the reference's query algebra:
+    sum of weight_i * score_i, /root/reference/src/common.rs:215-274;
+    weights may be negative — 'exclude-ish' terms).
+
+    query_terms_weighted: (query_id, k, term, weight) — already
+    tokenized terms with accumulated weights.
+    """
+    qt = query_terms_weighted.withColumn("term_hash", F.xxhash64("term"))
+    qdf = qt.join(term_df, "term_hash")
+    idf = F.log(
+        (F.lit(float(stats["N"])) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(stats["avgdl"]))
+    )
+    weighted = idf * F.lit(K1 + 1.0) * tf_norm * F.col("weight")
+    scored = tf.join(F.broadcast(qdf), "term_hash").withColumn(
+        "contrib_fixed",
+        F.floor(weighted * F.lit(float(FIXED_POINT_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    agg = scored.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("contrib_fixed").alias("score_fixed")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fixed"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score_fixed",
+            (F.col("score_fixed") / F.lit(float(FIXED_POINT_SCALE))).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def _contrib_fixed(n_docs: int, avgdl: float):
     """Fixed-point BM25 contribution column, mirroring common.bm25
     expression-for-expression (same association order, so JVM doubles

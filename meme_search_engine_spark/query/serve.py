@@ -29,7 +29,7 @@ from .wand import score_query_blocks
 
 _BLOCK_COLUMNS = [
     "term_hash", "df", "block_id", "n_docs", "min_doc_id", "max_doc_id",
-    "doc_ids", "tfs", "dls", "block_max_tfnorm",
+    "doc_ids", "tfs", "dls", "block_max_tfnorm", "max_tf", "min_dl",
 ]
 
 
@@ -81,4 +81,68 @@ class LocalSearcher:
                 "score": float(r.score),
             }
             for r in out.itertuples(index=False)
+        ]
+
+    def search_weighted(
+        self, terms: list[tuple[str, float]], k: int = 10
+    ) -> list[dict]:
+        """Weighted multi-term query (reference query algebra,
+        common.rs:215-274): each (text, weight) contributes
+        weight * BM25_term; weights may be negative.  Exhaustive over
+        the query terms' postings (block-max pruning is only valid for
+        all-positive weights, so the weighted path never prunes)."""
+        import math
+
+        import numpy as np
+
+        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
+        from .wand import _decode_block
+
+        weights: dict[int, float] = {}
+        for text, w in terms:
+            for t in tokenize(text):
+                h = term_hash(t)
+                weights[h] = weights.get(h, 0.0) + w
+        if not weights:
+            return []
+        hashes = sorted(weights)
+        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
+        table = self._dataset.to_table(
+            columns=_BLOCK_COLUMNS,
+            filter=(
+                pc.field("bucket").isin(buckets)
+                & pc.field("term_hash").isin(hashes)
+            ),
+        )
+        if table.num_rows == 0:
+            return []
+        pdf = table.to_pandas()
+        k1, b = self.cfg["k1"], self.cfg["b"]
+        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+        acc: dict[int, int] = {}
+        for th, g in pdf.groupby("term_hash"):
+            df_t = int(g["df"].iloc[0])
+            idf = bm25_idf(df_t, n_docs)
+            w = weights[int(th)]
+            for r in g.itertuples(index=False):
+                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
+                tf_f = tfs.astype(np.float64)
+                tf_norm = tf_f / (
+                    tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+                )
+                contrib = (idf * (k1 + 1.0) * tf_norm) * w
+                fixed = np.floor(
+                    contrib * float(FIXED_POINT_SCALE) + 0.5
+                ).astype(np.int64)
+                for doc, fx in zip(d.tolist(), fixed.tolist()):
+                    acc[doc] = acc.get(doc, 0) + fx
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_id": doc,
+                "score_fixed": sf,
+                "score": sf / float(FIXED_POINT_SCALE),
+            }
+            for i, (doc, sf) in enumerate(ranked)
         ]

@@ -68,15 +68,25 @@ def score_query_blocks(
 
     query_id = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
-    # per-term block tables, ordered by block_id (range-disjoint asc)
+    # per-term block tables, ordered by unsigned min_doc_id
+    # (range-disjoint ascending — block_id would also work post-
+    # finalize, but min_doc order is what the invariant actually is)
+    pdf = pdf.assign(
+        _umin=pdf["min_doc_id"].to_numpy(np.int64).astype(np.uint64)
+    )
     terms = []
     for th, g in pdf.groupby("term_hash"):
-        g = g.sort_values("block_id")
+        g = g.sort_values("_umin")
         df_t = int(g["df"].iloc[0])
         idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-        ub = (
-            idf * (k1 + 1.0) * g["block_max_tfnorm"].to_numpy(np.float64)
-        )
+        # dynamic block bound from (max_tf, min_dl): valid for the
+        # CURRENT avgdl even when blocks were encoded under an older
+        # one (incremental appends shift avgdl); tf_norm is monotone
+        # increasing in tf, decreasing in dl
+        mtf = g["max_tf"].to_numpy(np.float64)
+        mdl = g["min_dl"].to_numpy(np.float64)
+        bound_tfnorm = mtf / (mtf + k1 * ((1.0 - b) + (b * mdl) / avgdl))
+        ub = idf * (k1 + 1.0) * bound_tfnorm
         ub_fixed = np.floor(ub * two32 + 0.5).astype(np.int64)
         terms.append(
             {
@@ -206,7 +216,7 @@ def wand_topk(
     blocks = pruned.join(F.broadcast(qt), "term_hash").select(
         "query_id", "k", "term_hash", "df", "block_id", "n_docs",
         "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
-        "block_max_tfnorm",
+        "block_max_tfnorm", "max_tf", "min_dl",
     )
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return score_query_blocks(

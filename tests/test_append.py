@@ -1,0 +1,118 @@
+"""Incremental append: build(400) + append(100) must equal a cold
+build(500) — segments content, stats, and query results (the online
+reindex loop parity, SURVEY.md §2.9)."""
+
+import json
+import os
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from meme_search_engine_spark.datagen import ensure_corpus, generate_queries
+from meme_search_engine_spark.index.builder import (
+    append_to_index,
+    build_index,
+    load_index,
+    read_ledger,
+)
+from meme_search_engine_spark.index.postings import IndexConfig
+from meme_search_engine_spark.query.serve import LocalSearcher
+
+N_DOCS = 500
+SPLIT = 400
+CFG = IndexConfig(salt_shift=7, n_buckets=8, n_parts=3, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("append")
+    pages_dir, _ = ensure_corpus(str(base), N_DOCS)
+    pages = spark.read.parquet(pages_dir)
+
+    cold = str(base / "cold")
+    build_index(spark, pages, cold, CFG)
+
+    incr = str(base / "incr")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), incr, CFG)
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), incr)
+    return cold, incr
+
+
+def _decoded_content(spark, d):
+    """Logical index content: per-term decoded postings + df.  Block
+    PACKING may differ between cold and appended builds (the epoch
+    boundary salt ends up with two partial blocks instead of one —
+    concat-merge never repacks); the decoded postings must not."""
+    from meme_search_engine_spark.index.postings import (
+        decode_segments_to_postings,
+    )
+
+    segments, _, _ = load_index(spark, d)
+    return sorted(
+        map(
+            tuple,
+            decode_segments_to_postings(segments)
+            .select("term_hash", "df", "doc_id", "tf", "doc_len")
+            .collect(),
+        )
+    )
+
+
+def test_appended_content_equals_cold_build(spark, dirs):
+    cold, incr = dirs
+    assert _decoded_content(spark, cold) == _decoded_content(spark, incr)
+
+
+def test_appended_block_invariants(spark, dirs):
+    """Blocks within a term must stay doc-range-disjoint and ordered
+    across the epoch seam."""
+    _, incr = dirs
+    segments, _, _ = load_index(spark, incr)
+    rows = segments.collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term_hash"], []).append(r)
+    for th, blocks in by_term.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        prev_max = None
+        for b in blocks:
+            if prev_max is not None:
+                assert b["min_doc_id"] > prev_max, th
+            prev_max = b["max_doc_id"]
+            assert b["n_docs"] <= CFG.block_size
+
+
+def test_appended_stats_exactly_merge(spark, dirs):
+    cold, incr = dirs
+    with open(os.path.join(cold, "stats.json")) as fh:
+        cs = json.load(fh)
+    with open(os.path.join(incr, "stats.json")) as fh:
+        is_ = json.load(fh)
+    assert (cs["N"], cs["total_tokens"]) == (is_["N"], is_["total_tokens"])
+    assert cs["avgdl"] == is_["avgdl"]  # bit-identical double
+
+
+def test_appended_query_results_identical(spark, dirs):
+    cold, incr = dirs
+    s_cold, s_incr = LocalSearcher(cold), LocalSearcher(incr)
+    for q in generate_queries(N_DOCS)[:40]:
+        a = [(r["rank"], r["doc_id"], r["score_fixed"]) for r in s_cold.search(q["text"], q["k"])]
+        b = [(r["rank"], r["doc_id"], r["score_fixed"]) for r in s_incr.search(q["text"], q["k"])]
+        assert a == b, q["text"]
+
+
+def test_append_contract_enforced(spark, dirs, tmp_path):
+    _, incr = dirs
+    # re-appending the same (lower) doc ids must be rejected
+    base = os.path.dirname(incr)
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    with pytest.raises(ValueError, match="append contract"):
+        append_to_index(spark, pages.filter(F.col("doc_id") < 10), incr)
+
+
+def test_append_ledger_has_epochs(spark, dirs):
+    _, incr = dirs
+    led = read_ledger(spark, incr)
+    epochs = {r["epoch"] for r in led.select("epoch").distinct().collect()}
+    assert epochs == {0, 1}
