@@ -91,6 +91,28 @@ def main() -> None:
 
         timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect())
         timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect())
+
+        # extraction-heavy build: html->text Arrow UDF in the loop (the
+        # input_hint path); synthetic pages corpus, scaled with sf
+        from meme_search_engine_spark.datagen import ensure_corpus
+
+        n_html = max(2000, min(int(20000 * float(sf or 0.1) * 10), 50000))
+        pages_dir, _ = ensure_corpus(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"),
+            n_html,
+        )
+        html_pages = spark.read.parquet(pages_dir).drop("text")
+        idx2 = tempfile.mkdtemp(prefix="bench_idx_html_")
+        try:
+            timed(
+                "index_build_from_html",
+                lambda: build_index(spark, html_pages, idx2, cfg),
+            )
+            extras["html_build_docs_per_sec"] = round(
+                n_html / timings["index_build_from_html"], 1
+            )
+        finally:
+            shutil.rmtree(idx2, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()

@@ -234,6 +234,50 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with query-time near-duplicate suppression — the
+    reference suppresses near-identical results after search
+    (gram-matrix cosine > 0.95, query_disk_index.rs:99,514-527); the
+    text analogue keeps only the best-ranked result per content
+    fingerprint, then re-ranks densely."""
+    docs = _docs(spark, sf_dir)
+    tf = term_doc_tf(docs)
+    stats = corpus_stats(docs)
+    base = bm25_topk(tf, term_df(tf), stats, _gate_query_df(spark))
+    fps = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    joined = base.join(fps, "doc_id")
+    w_fp = Window.partitionBy("query_id", "fp").orderBy("rank")
+    w_q = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        joined.withColumn("dup_rn", F.row_number().over(w_fp))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("new_rank", F.row_number().over(w_q))
+        .select(
+            "query_id",
+            F.col("new_rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+SQL_BM25_TOPK_DEDUP_SUFFIX = """
+, fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+dedup AS (
+  SELECT b.query_id, b.rank, b.doc_id, b.score, f.fp
+  FROM base b JOIN fps f ON f.doc_id = b.doc_id
+  QUALIFY row_number() OVER (PARTITION BY b.query_id, f.fp ORDER BY b.rank) = 1
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS INTEGER)
+         AS rank,
+       doc_id, score
+FROM dedup
+"""
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats (A12/A2): N docs, avg/min/max/sum doc length."""
     docs = _docs(spark, sf_dir)
@@ -298,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_weighted_topk": q_bm25_weighted_topk,
+        "bm25_topk_dedup": q_bm25_topk_dedup,
         "doc_stats": q_doc_stats,
         "doc_lengths": q_doc_lengths,
         "term_df_top": q_term_df_top,
@@ -316,10 +361,16 @@ def oracle_sql() -> dict[str, str]:
     weighted_values = ",".join(
         f"({qid},'{t}',{w},{k})" for qid, t, w, k in GATE_WEIGHTED
     )
+    head, _, tail = bm25_sql.partition("SELECT r.query_id")
+    dedup_sql = (
+        head + ", base AS (SELECT r.query_id" + tail + ")"
+        + SQL_BM25_TOPK_DEDUP_SUFFIX
+    )
     out = {
         "bm25_topk": bm25_sql,
         "bm25_wand_topk": bm25_sql,
         "bm25_weighted_topk": SQL_BM25_WEIGHTED.replace("{QW}", weighted_values),
+        "bm25_topk_dedup": dedup_sql,
         "doc_stats": SQL_DOC_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,
         "term_df_top": SQL_TERM_DF_TOP,

@@ -1,0 +1,115 @@
+"""HTTP API parity: the reference's POST / query surface over
+LocalSearcher (mse.py:37-47 request shape)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from meme_search_engine_spark.datagen import ensure_corpus, rare_term
+from meme_search_engine_spark.index.builder import build_index
+from meme_search_engine_spark.index.postings import IndexConfig
+from meme_search_engine_spark.oracle import OracleIndex
+from meme_search_engine_spark.query.http_server import SearchServer
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("http")
+    pages_dir, _ = ensure_corpus(str(base), N_DOCS)
+    idx = str(base / "idx")
+    build_index(
+        spark,
+        spark.read.parquet(pages_dir),
+        idx,
+        IndexConfig(salt_shift=7, n_buckets=8, n_parts=2),
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{pages_dir}/*.parquet' ORDER BY doc_id"
+    ).fetchall()
+    srv = SearchServer(idx).start()
+    yield srv, OracleIndex.build(rows)
+    srv.stop()
+
+
+def _post(port: int, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_simple_query_matches_oracle(server):
+    srv, oracle = server
+    code, body = _post(srv.port, {"query": "term0001 term0100", "top_k": 5})
+    assert code == 200
+    got = [(m["rank"], m["doc_id"], m["score_fixed"]) for m in body["matches"]]
+    expected = [
+        (r, d, sf) for r, d, sf, _ in oracle.topk("term0001 term0100", 5)
+    ]
+    assert got == expected
+
+
+def test_weighted_terms_request(server):
+    srv, oracle = server
+    code, body = _post(
+        srv.port,
+        {"text": [["term0001", 2.0], ["term0000", -0.5]], "top_k": 5},
+    )
+    assert code == 200
+    got = [(m["rank"], m["doc_id"], m["score_fixed"]) for m in body["matches"]]
+    expected = [
+        (r, d, sf)
+        for r, d, sf, _ in oracle.topk_weighted(
+            [("term0001", 2.0), ("term0000", -0.5)], 5
+        )
+    ]
+    assert got == expected
+
+
+def test_health_and_errors(server):
+    srv, _ = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/health", timeout=10
+    ) as resp:
+        health = json.loads(resp.read())
+    assert health["n_docs"] == N_DOCS
+
+    code, body = _post(srv.port, {"images": [["b64", 1.0]], "top_k": 5})
+    assert code == 400 and "not supported" in body["error"]
+    code, body = _post(srv.port, {"top_k": 5})
+    assert code == 400
+    code, body = _post(srv.port, {"query": "x", "top_k": 0})
+    assert code == 400
+    code, body = _post(srv.port, {"query": rare_term(7), "top_k": 3})
+    assert code == 200 and body["matches"][0]["doc_id"] == 7
+
+
+def test_concurrent_requests(server):
+    """The reference load-test shape (perf_test.py): concurrent
+    queries against the threaded server."""
+    import concurrent.futures
+
+    srv, _ = server
+
+    def one(i):
+        code, body = _post(
+            srv.port, {"query": f"term{i % 50:04d} term0001", "top_k": 10}
+        )
+        assert code == 200
+        return len(body["matches"])
+
+    with concurrent.futures.ThreadPoolExecutor(16) as ex:
+        results = list(ex.map(one, range(64)))
+    assert all(r > 0 for r in results)
