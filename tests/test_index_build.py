@@ -137,6 +137,22 @@ def test_head_term_salted_into_bounded_groups(spark, index_dir, oracle):
     assert n_ranges >= 3
 
 
+def test_skew_bounded_groups(spark, index_dir):
+    """SURVEY §5.5 skew bound: no (term, salt) build group can exceed
+    the salt range, REGARDLESS of a term's df — the head term's 30%-df
+    hot key is split across bounded groups by construction."""
+    segments, _, _ = load_index(spark, index_dir)
+    per_group = (
+        segments.withColumn(
+            "salt", F.shiftrightunsigned(F.col("min_doc_id"), CFG.salt_shift)
+        )
+        .groupBy("term_hash", "salt")
+        .agg(F.sum("n_docs").alias("n"))
+    )
+    max_group = per_group.agg(F.max("n")).collect()[0][0]
+    assert max_group <= 2**CFG.salt_shift
+
+
 def test_build_invariant_to_input_partitioning(spark, pages_path, tmp_path):
     pages = spark.read.parquet(pages_path)
 
