@@ -52,6 +52,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_from_pages(_load(spark, sf_dir, "documents"))
 
 
+_CORPUS_CACHE: dict[str, dict] = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-process cached (tf, stats, term_df) for a corpus dir.
+
+    Catalyst does NOT reuse the tf exchange between the scoring branch
+    and the df branch (Python-UDF subtrees don't canonicalize equal),
+    so without a persist the corpus is extracted+tokenized twice per
+    query — and the driver runs many gate queries per process."""
+    if sf_dir not in _CORPUS_CACHE:
+        docs = _docs(spark, sf_dir)
+        tf = term_doc_tf(docs).persist()
+        _CORPUS_CACHE[sf_dir] = {
+            "tf": tf,
+            "stats": corpus_stats(docs),
+            "term_df": term_df(tf),
+        }
+    return _CORPUS_CACHE[sf_dir]
+
+
 def _gate_query_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         GATE_QUERIES, "query_id int, text string, k int"
@@ -77,10 +98,8 @@ def _gate_query_k_sql() -> str:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full inverted-index stats + exhaustive BM25 top-k for
     the embedded gate query set over `documents`."""
-    docs = _docs(spark, sf_dir)
-    tf = term_doc_tf(docs)
-    stats = corpus_stats(docs)
-    out = bm25_topk(tf, term_df(tf), stats, _gate_query_df(spark))
+    c = _corpus(spark, sf_dir)
+    out = bm25_topk(c["tf"], c["term_df"], c["stats"], _gate_query_df(spark))
     # score_fixed is engine-internal (int64 determinism contract);
     # the cross-engine compare uses the rounded double score.
     return out.select(
@@ -142,13 +161,11 @@ def q_bm25_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight_i x score_i, incl. negative weights — common.rs:215-274)."""
     from .query.dataframe_engine import bm25_topk_weighted
 
-    docs = _docs(spark, sf_dir)
-    tf = term_doc_tf(docs)
-    stats = corpus_stats(docs)
+    c = _corpus(spark, sf_dir)
     qt = spark.createDataFrame(
         GATE_WEIGHTED, "query_id int, term string, weight double, k int"
     )
-    out = bm25_topk_weighted(tf, term_df(tf), stats, qt)
+    out = bm25_topk_weighted(c["tf"], c["term_df"], c["stats"], qt)
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -240,10 +257,8 @@ def q_bm25_topk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram-matrix cosine > 0.95, query_disk_index.rs:99,514-527); the
     text analogue keeps only the best-ranked result per content
     fingerprint, then re-ranks densely."""
-    docs = _docs(spark, sf_dir)
-    tf = term_doc_tf(docs)
-    stats = corpus_stats(docs)
-    base = bm25_topk(tf, term_df(tf), stats, _gate_query_df(spark))
+    c = _corpus(spark, sf_dir)
+    base = bm25_topk(c["tf"], c["term_df"], c["stats"], _gate_query_df(spark))
     fps = _load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )

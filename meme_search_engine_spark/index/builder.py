@@ -238,11 +238,23 @@ def build_index(
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             raise InjectedFailure(f"injected failure after {batches_done} batches")
 
+    _write_docmeta(docs, out_dir, epoch=0)
     if cache_docs:
         docs.unpersist()
 
     # ---- stage 2: concat-merge finalize ------------------------------
     return _finalize(spark, out_dir, cfg, stats, snapshot)
+
+
+def _write_docmeta(docs: DataFrame, out_dir: str, epoch: int) -> None:
+    """Sidecar (doc_id, url, doc_len) table — what lets query results
+    surface URLs (the reference returns filenames/urls, not raw ids:
+    query_disk_index.rs:531-541).  Epoch-append like the partials."""
+    (
+        docs.select("doc_id", "url", "doc_len")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docmeta", f"epoch={epoch}"))
+    )
 
 
 def _finalize(
@@ -348,6 +360,7 @@ def append_to_index(
         _write_partials_and_ledger(
             spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending, epoch
         )
+    _write_docmeta(docs, out_dir, epoch)
     if cache_docs:
         docs.unpersist()
 

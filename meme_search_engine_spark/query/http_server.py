@@ -56,9 +56,9 @@ def make_handler(searcher: LocalSearcher):
             try:
                 if "text" in req:
                     terms = [(str(t), float(w)) for t, w in req["text"]]
-                    matches = searcher.search_weighted(terms, k)
+                    matches = searcher.search_weighted(terms, k, with_urls=True)
                 elif "query" in req:
-                    matches = searcher.search(str(req["query"]), k)
+                    matches = searcher.search(str(req["query"]), k, with_urls=True)
                 else:
                     return self._reply(
                         400, {"error": "need 'text' or 'query' field"}

@@ -46,8 +46,31 @@ class LocalSearcher:
             format="parquet",
             partitioning="hive",
         )
+        self._docmeta_dir = os.path.join(index_dir, "docmeta")
 
-    def search(self, text: str, k: int = 10) -> list[dict]:
+    def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url from the docmeta sidecar (row-group filtered
+        pyarrow read; the reference's filename projection,
+        query_disk_index.rs:531-541)."""
+        if not doc_ids or not os.path.isdir(self._docmeta_dir):
+            return {}
+        meta = ds.dataset(
+            self._docmeta_dir, format="parquet", partitioning="hive"
+        ).to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("doc_id").isin(doc_ids),
+        )
+        return dict(
+            zip(meta.column("doc_id").to_pylist(), meta.column("url").to_pylist())
+        )
+
+    def _attach_urls(self, results: list[dict]) -> list[dict]:
+        urls = self.urls_for([r["doc_id"] for r in results])
+        for r in results:
+            r["url"] = urls.get(r["doc_id"])
+        return results
+
+    def search(self, text: str, k: int = 10, with_urls: bool = False) -> list[dict]:
         """-> [{rank, doc_id, score_fixed, score}] — rank-identical to
         the Spark engines and the oracle."""
         hashes = sorted({term_hash(t) for t in tokenize(text)})
@@ -73,7 +96,7 @@ class LocalSearcher:
             self.cfg["k1"],
             self.cfg["b"],
         )
-        return [
+        results = [
             {
                 "rank": int(r.rank),
                 "doc_id": int(r.doc_id),
@@ -82,9 +105,11 @@ class LocalSearcher:
             }
             for r in out.itertuples(index=False)
         ]
+        return self._attach_urls(results) if with_urls else results
 
     def search_weighted(
-        self, terms: list[tuple[str, float]], k: int = 10
+        self, terms: list[tuple[str, float]], k: int = 10,
+        with_urls: bool = False,
     ) -> list[dict]:
         """Weighted multi-term query (reference query algebra,
         common.rs:215-274): each (text, weight) contributes
@@ -137,7 +162,7 @@ class LocalSearcher:
                 for doc, fx in zip(d.tolist(), fixed.tolist()):
                     acc[doc] = acc.get(doc, 0) + fx
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        return [
+        results = [
             {
                 "rank": i + 1,
                 "doc_id": doc,
@@ -146,3 +171,4 @@ class LocalSearcher:
             }
             for i, (doc, sf) in enumerate(ranked)
         ]
+        return self._attach_urls(results) if with_urls else results

@@ -48,6 +48,24 @@ def test_local_searcher_rank_identity(built):
         assert got == expected, q["text"]
 
 
+def test_local_searcher_urls(built, spark):
+    index_dir, _ = built
+    searcher = LocalSearcher(index_dir)
+    results = searcher.search("term0001 term0100", 5, with_urls=True)
+    assert results and all(
+        r["url"] and r["url"].startswith("https://example") for r in results
+    )
+    # urls must belong to the right docs
+    meta = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(
+            f"{index_dir}/docmeta"
+        ).collect()
+    }
+    for r in results:
+        assert r["url"] == meta[r["doc_id"]]
+
+
 def test_local_searcher_latency(built):
     index_dir, _ = built
     searcher = LocalSearcher(index_dir)
