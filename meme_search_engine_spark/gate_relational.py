@@ -168,15 +168,35 @@ def a3_histogram(spark, sf_dir):
 
 def a4_quantiles(spark, sf_dir):
     """A4: quantile/CDF aggregation (compute_cdf.py:64-74) — exact
-    interpolated percentiles."""
+    interpolated percentiles.
+
+    Hash-stable across engines by construction: both sides evaluate the
+    SAME interpolation expression ``v[lo] + frac * (v[lo+1] - v[lo])``
+    on the SAME input doubles, then emit fixed-point integers
+    (floor(x*1e4 + 0.5)), so no engine-specific interpolation order or
+    decimal-rounding rule can flip the value hash.  (Spark's built-in
+    ``percentile`` is the scale path — an exact streaming aggregate —
+    but its interpolation differs from DuckDB's quantile_cont by 1 ulp,
+    which survives round(x, 4); see VERDICT r01 §wrong-1.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.transform(
-            F.percentile(
-                F.col("l_extendedprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)])
-            ),
-            lambda x: F.round(x, 4),
-        ).alias("price_quantiles")
+    agg = li.agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("v"),
+        F.count("l_extendedprice").alias("n"),
+    )
+
+    def q(p: float, name: str):
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        lo = F.floor(pos).cast("long")
+        frac = pos - lo.cast("double")
+        vlo = F.element_at("v", (lo + F.lit(1)).cast("int"))
+        vhi = F.element_at(
+            "v", F.least(lo + F.lit(2), F.col("n")).cast("int")
+        )
+        val = vlo + frac * (vhi - vlo)
+        return F.floor(val * F.lit(10000.0) + F.lit(0.5)).cast("long").alias(name)
+
+    return agg.select(
+        q(0.25, "q25_e4"), q(0.5, "q50_e4"), q(0.75, "q75_e4"), q(0.95, "q95_e4")
     )
 
 
@@ -394,12 +414,21 @@ def st_tumbling_window(spark, sf_dir):
 
 def st_sessionization(spark, sf_dir):
     """§2.9: sessionization — lag + cumulative gap counter (the
-    adaptive-poll-interval shape of crawler.py:23-57)."""
-    ev = _t(spark, sf_dir, "events")
+    adaptive-poll-interval shape of crawler.py:23-57).
+
+    Gap math is timezone-independent: microsecond-exact
+    ``timestampdiff`` on TIMESTAMP_NTZ (never unix_timestamp, whose
+    NTZ interpretation shifts with the session timezone — the r01
+    driver-hash failure) mirrored by DuckDB date_diff('microsecond')."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    prev = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    ev = ev.withColumn("_prev_ts", prev)
     sess = F.sum(
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         ev.withColumn("session_id", sess)
@@ -477,10 +506,35 @@ ORACLES: dict[str, str] = {
         SELECT CAST(floor(l_discount * 100) AS INTEGER) AS bucket, count(*) AS n
         FROM lineitem GROUP BY 1
     """,
+    # same interpolation expression as the Spark side, fixed-point out
     "a4_quantiles": """
-        SELECT list_transform(quantile_cont(l_extendedprice,
-                 [0.25, 0.5, 0.75, 0.95]), x -> round(x, 4)) AS price_quantiles
-        FROM lineitem
+        WITH s AS (
+          SELECT list_sort(list(l_extendedprice)) AS v,
+                 count(l_extendedprice) AS n
+          FROM lineitem
+        )
+        SELECT
+          CAST(floor((v[CAST(floor(0.25*(n-1)) AS BIGINT)+1]
+               + (0.25*(n-1) - floor(0.25*(n-1)))
+                 * (v[least(CAST(floor(0.25*(n-1)) AS BIGINT)+2, n)]
+                    - v[CAST(floor(0.25*(n-1)) AS BIGINT)+1])) * 10000.0 + 0.5)
+               AS BIGINT) AS q25_e4,
+          CAST(floor((v[CAST(floor(0.5*(n-1)) AS BIGINT)+1]
+               + (0.5*(n-1) - floor(0.5*(n-1)))
+                 * (v[least(CAST(floor(0.5*(n-1)) AS BIGINT)+2, n)]
+                    - v[CAST(floor(0.5*(n-1)) AS BIGINT)+1])) * 10000.0 + 0.5)
+               AS BIGINT) AS q50_e4,
+          CAST(floor((v[CAST(floor(0.75*(n-1)) AS BIGINT)+1]
+               + (0.75*(n-1) - floor(0.75*(n-1)))
+                 * (v[least(CAST(floor(0.75*(n-1)) AS BIGINT)+2, n)]
+                    - v[CAST(floor(0.75*(n-1)) AS BIGINT)+1])) * 10000.0 + 0.5)
+               AS BIGINT) AS q75_e4,
+          CAST(floor((v[CAST(floor(0.95*(n-1)) AS BIGINT)+1]
+               + (0.95*(n-1) - floor(0.95*(n-1)))
+                 * (v[least(CAST(floor(0.95*(n-1)) AS BIGINT)+2, n)]
+                    - v[CAST(floor(0.95*(n-1)) AS BIGINT)+1])) * 10000.0 + 0.5)
+               AS BIGINT) AS q95_e4
+        FROM s
     """,
     "a5_summary_stats": """
         SELECT event_type, round(avg(value), 4) AS avg_v,
@@ -579,7 +633,8 @@ ORACLES: dict[str, str] = {
         WITH g AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        OR date_diff('microsecond', lag(ts) OVER w, ts)
+                           > 1800 * 1000000
                       THEN 1 ELSE 0 END AS new_sess
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
