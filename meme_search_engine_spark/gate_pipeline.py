@@ -38,8 +38,11 @@ def dd_exact_groups(spark, sf_dir):
 
 
 def dd_jaccard_top_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, deterministic top-20."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    """Exact 3-gram Jaccard near-dup pairs, deterministic top-20, with
+    the hot-shingle df cap active (df > 5 dropped on both sides)."""
+    pairs = dedup.jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_df=5
+    )
     return (
         pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
@@ -50,17 +53,26 @@ def dd_jaccard_top_pairs(spark, sf_dir):
 
 
 def dd_minhash_candidates(spark, sf_dir):
-    """MinHash+LSH candidate pairs (xxhash64-based — rows-only gate;
-    recall vs exact Jaccard is pytest-verified)."""
+    """MinHash+LSH candidate pairs, md5-hex hash strategy — fully
+    SQL-expressible, so the driver gets a value-hash oracle (the r01
+    entry was xxhash64-based and scored `no_oracle`).  The xxhash64
+    production strategy shares every plan shape and is recall-tested
+    in pytest."""
     return dedup.minhash_lsh_candidates(
-        _docs(spark, sf_dir), n_hashes=16, bands=4, n=3
+        _docs(spark, sf_dir),
+        n_hashes=16,
+        bands=4,
+        n=3,
+        max_shingle_df=5,
+        hash_strategy="md5",
     )
 
 
 def dd_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (rows-only gate; pure-Python
-    equivalence pytest-verified)."""
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+    """SimHash near-dup candidates — md5-derived term bits computed as
+    JVM aggregates, so DuckDB can replay signature, banding, and
+    hamming exactly (r01: xxhash64 + per-doc applyInPandas, no_oracle)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16, bands=4)
 
 
 # -------------------------------------------------------------- similarity
@@ -141,26 +153,146 @@ _STOP_EN = "'the','a','of','and','to','in','is','that'"
 _STOP_DE = "'der','die','das','und','ist','nicht','ein'"
 _STOP_FR = "'le','la','les','et','est','un','une','que'"
 
+# shared fragment: distinct (doc_id, shingle) with the df<=5 hot cap,
+# mirroring dedup.shingles(n=3, max_shingle_df=5)
+_SQL_SHINGLES_CAPPED = f"""
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS p,
+         unnest(toks) AS term
+  FROM docs WHERE len(toks) >= 3
+),
+sh0 AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+  FROM pos t1
+  JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.p = t1.p + 1
+  JOIN pos t3 ON t1.doc_id = t3.doc_id AND t3.p = t1.p + 2
+),
+ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 5),
+sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN ok USING (shingle))
+"""
+
+_MH_AGGS = ",\n    ".join(
+    f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(16)
+)
+_MH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || ".join(f"mh{b * 4 + r}" for r in range(4))
+    + " AS bh FROM sig"
+    for b in range(4)
+)
+
+_SQL_MINHASH = f"""
+WITH {_SQL_SHINGLES_CAPPED},
+sig AS (
+  SELECT doc_id,
+    {_MH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+# SimHash: bit i (0=LSB) of H = int(md5_hex[:16], 16) lives in hex char
+# 16 - i//4 at in-nibble position i%4 — same definition as
+# dedup.term_bits_md5 (pytest-asserted against pure Python).
+_SQL_SIMHASH = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+bits AS (
+  SELECT f.doc_id, r.i,
+    sum(CASE WHEN (((strpos('0123456789abcdef',
+            substr(md5(f.term), CAST(16 - (r.i // 4) AS INTEGER), 1)) - 1)
+          >> (r.i % 4)) & 1) = 1
+        THEN f.tf ELSE -f.tf END) AS s
+  FROM tf f CROSS JOIN range(64) AS r(i)
+  GROUP BY 1, 2
+),
+signs AS (
+  SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sg FROM bits
+),
+chunks AS (
+  SELECT doc_id, i // 16 AS c,
+         string_agg(CAST(sg AS VARCHAR), '' ORDER BY i) AS band_key
+  FROM signs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.sg <> sb.sg THEN 1 ELSE 0 END) AS hamming
+  FROM cand c
+  JOIN signs sa ON sa.doc_id = c.doc_a
+  JOIN signs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM ham WHERE hamming <= 16
+"""
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+_SQL_IVF = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 3),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT v.vec_id, v.embedding, c.list_id,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        {_SQL_COS.format(a="v.embedding", b="c.cvec")} DESC, c.list_id) AS rn
+    FROM v CROSS JOIN cents c)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qvec, list_id FROM (
+    SELECT q.query_id, q.qvec, c.list_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {_SQL_COS.format(a="q.qvec", b="c.cvec")} DESC, c.list_id) AS rn
+    FROM q CROSS JOIN cents c)
+  WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {_SQL_COS.format(a="a.embedding", b="p.qvec")} AS cosine
+  FROM probe p JOIN assign a USING (list_id)
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+  vec_id, round(cosine, 4) AS cosine
+FROM scored QUALIFY rank <= 10
+"""
+
 ORACLES: dict[str, str] = {
+    "dd_minhash_candidates": _SQL_MINHASH,
+    "dd_simhash_pairs": _SQL_SIMHASH,
+    "ann_ivf_topk": _SQL_IVF,
     "dd_exact_groups": """
         SELECT md5(text) AS fingerprint, count(*) AS n_dups,
                min(doc_id) AS keep_doc_id
         FROM documents GROUP BY text
     """,
     "dd_jaccard_top_pairs": f"""
-        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        pos AS (
-          SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS p,
-                 unnest(toks) AS term
-          FROM docs WHERE len(toks) >= 3
-        ),
-        sh AS (
-          SELECT DISTINCT t1.doc_id,
-                 t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
-          FROM pos t1
-          JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.p = t1.p + 1
-          JOIN pos t3 ON t1.doc_id = t3.doc_id AND t3.p = t1.p + 2
-        ),
+        WITH {_SQL_SHINGLES_CAPPED},
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -153,6 +153,7 @@ def corpus_stats(docs: DataFrame) -> dict:
         F.count("*").alias("N"),
         F.sum("doc_len").alias("total_tokens"),
         F.max("doc_id").alias("max_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
     ).collect()[0]
     n = row["N"]
     total = int(row["total_tokens"] or 0)
@@ -161,4 +162,5 @@ def corpus_stats(docs: DataFrame) -> dict:
         "avgdl": (total / n) if n else 0.0,
         "total_tokens": total,
         "max_doc_id": row["max_doc_id"],
+        "min_doc_id": row["min_doc_id"],
     }

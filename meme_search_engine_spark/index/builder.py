@@ -344,11 +344,19 @@ def append_to_index(
         new_stats["total_tokens"]
     )
     n = old["N"] + new_stats["N"]
+    old_min = old.get("min_doc_id")
+    new_min_id = new_stats.get("min_doc_id")
+    merged_min = (
+        min(x for x in (old_min, new_min_id) if x is not None)
+        if (old_min is not None or new_min_id is not None)
+        else None
+    )
     stats = {
         "N": n,
         "avgdl": total / n,
         "total_tokens": total,
         "max_doc_id": new_stats["max_doc_id"],
+        "min_doc_id": merged_min,
         "input_snapshot": old.get("input_snapshot"),
         "appended_snapshots": old.get("appended_snapshots", []) + [snapshot],
     }

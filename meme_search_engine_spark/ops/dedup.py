@@ -11,9 +11,6 @@ which Spark makes affordable.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -43,32 +40,59 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- shingles
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingles(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
     """docs(doc_id, text) -> distinct (doc_id, shingle) of n-gram token
     shingles, built entirely JVM-side (tokenize -> transform(sequence)).
-    Docs shorter than n tokens produce no shingles."""
+    Docs shorter than n tokens produce no shingles.
+
+    max_shingle_df: drop shingles appearing in more than this many docs
+    BEFORE any self-join — the standard hot-shingle cap.  Without it a
+    head shingle of df=d produces d^2 candidate rows in the downstream
+    equi-join (quadratic on Zipf corpora — the r01 scale-killer).  The
+    hot set is tiny (only head shingles), so the anti-join broadcasts.
+    Tradeoff: similarity is then measured over the capped shingle
+    space; ubiquitous shingles carry ~no near-dup signal, so recall on
+    genuine near-dups is unchanged (property-tested)."""
     toks = tokens_col(F.col("text"))
     sh = F.expr(
         f"transform(sequence(0, size(_toks) - {n}), "
         f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
     )
-    return (
+    out = (
         docs.withColumn("_toks", toks)
         .filter(F.size("_toks") >= n)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    return out
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold).
 
     Plan: shingle explode -> self-equi-join on shingle (the classic
     candidate generation; a shuffle on shingle) -> pair intersection
-    counts -> sizes join -> |A∩B| / (|A|+|B|-|A∩B|)."""
-    sh = shingles(docs, n)
+    counts -> sizes join -> |A∩B| / (|A|+|B|-|A∩B|).
+
+    Pass max_shingle_df at scale (see shingles()) — sizes and
+    intersections are both computed over the capped shingle space, so
+    the Jaccard stays a true set similarity of that space."""
+    sh = shingles(docs, n, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,32 +121,70 @@ def jaccard_pairs(
 
 # ----------------------------------------------------------------- minhash
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3) -> DataFrame:
-    """MinHash signature per doc: mh_i = min over shingles of
-    xxhash64(shingle, i).  All JVM-side (n_hashes min-aggregates)."""
-    sh = shingles(docs, n)
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature per doc.  All JVM-side (n_hashes min-aggregates).
+
+    hash_strategy:
+    - "xxhash64" (default, production): mh_i = min xxhash64(shingle, i).
+    - "md5": mh_i = min md5(shingle || '#i') as the 32-char hex string —
+      lexicographic min on fixed-length hex == numeric min on the
+      128-bit value, and md5 is computable identically in DuckDB, so
+      the correctness gate gets a full SQL oracle (VERDICT r01 §missing-1).
+    """
+    sh = shingles(docs, n, max_shingle_df)
+    if hash_strategy == "md5":
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")).cast("binary"))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, n_hashes: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (doc_a < doc_b).  Candidate recall vs true Jaccard
-    pairs is property-tested in tests/test_ops_dedup.py."""
+    pairs is property-tested in tests/test_ops.py.
+
+    Scale shape: bucket-join on (band_id, band key), never all-pairs;
+    pass max_shingle_df to bound within-band blowup from
+    mass-duplicated boilerplate."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(docs, n_hashes, n, max_shingle_df, hash_strategy)
+    if hash_strategy == "md5":
+        band_cols = [
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -152,48 +214,78 @@ def minhash_lsh_candidates(
 
 # ----------------------------------------------------------------- simhash
 
+def term_bits_md5(term_col) -> list:
+    """64 bit-columns (i=0 LSB) of the 64-bit integer formed by the
+    first 16 hex chars of md5(term): H = int(md5_hex[:16], 16).
+    Pure JVM: two conv() calls then shift/mask — md5 keeps the bit
+    pattern computable identically in DuckDB (the SQL oracle) and in
+    pure Python (int.from hexdigest), unlike xxhash64."""
+    md5h = F.md5(term_col.cast("binary"))
+    hi = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
+    return [
+        F.shiftright(lo if i < 32 else hi, i % 32).bitwiseAND(F.lit(1))
+        for i in range(64)
+    ]
+
+
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from tf-weighted term-hash bits
+    """64-bit SimHash per doc from tf-weighted md5-derived term bits
     (reference's sign-bit embedding binarization,
     dump_processor.rs:109-115, applied to term space).
 
-    term hashing stays JVM-side; the bit unpack + weighted sign sum is
-    one numpy matrix op per Arrow batch (grouped by doc)."""
+    Whole computation is JVM aggregates: 64 conditional sums
+    sum(bit_i ? tf : -tf) over the (doc, term, tf) table, sign, pack.
+    No per-doc applyInPandas (the r01 tiny-group scale-killer: one
+    ~1 ms pandas group per doc x 10^12 docs); the shuffle is the one
+    (doc_id, term) count, and the sign-sum aggregate is map-side
+    partial like any hash aggregate."""
     tf = (
         docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("th", F.xxhash64("term"))
-        .select("doc_id", "th", "tf")
     )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = int(pdf["doc_id"].iloc[0])
-        h = pdf["th"].to_numpy(np.int64).astype(np.uint64)
-        w = pdf["tf"].to_numpy(np.int64).astype(np.float64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.float64
-        )
-        score = ((2.0 * bits - 1.0) * w[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(score > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame(
-            {"doc_id": [doc_id], "simhash": [np.int64(sig.astype(np.int64))]}
-        )
-
-    return tf.groupBy("doc_id").applyInPandas(kernel, "doc_id long, simhash long")
+    bits = term_bits_md5(F.col("term"))
+    sums = [
+        F.sum(
+            F.when(bits[i] == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    agg = tf.groupBy("doc_id").agg(*sums)
+    packed = None
+    for i in range(64):
+        piece = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = piece if packed is None else packed.bitwiseOR(piece)
+    return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance, banded on 16-bit
-    chunks (any identical chunk -> candidate; exact hamming filter after)."""
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance, banded on
+    (64/bands)-bit chunks (any identical chunk -> candidate; exact
+    hamming filter after).  Banding guarantee: hamming <= bands-1
+    implies some chunk is untouched, so recall is exact for
+    max_hamming < bands; above that it's approximate (documented LSH
+    tradeoff).  `bands` trades recall against bucket width: each band
+    has 2^(64/bands) buckets, so expected bucket membership is
+    N / 2^(64/bands) — at 10^12 docs use bands=2 (2^32 buckets,
+    ~250 docs/bucket) rather than the r01 fixed 4x16-bit banding
+    whose 65,536 buckets went quadratic."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
     sig = simhash(docs)
+    # pure bit-slices: mask with AND, never `%` (Spark % follows the
+    # dividend's sign — negative simhash would corrupt chunk 0)
     chunks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(65536)).alias(
-            f"c{i}"
-        )
-        for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), width * i)
+        .bitwiseAND(F.lit(mask))
+        .alias(f"c{i}")
+        for i in range(bands)
     ]
     banded = sig.select("doc_id", "simhash", *chunks)
     exploded = banded.select(
@@ -203,7 +295,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("cid"), F.col(f"c{i}").alias("cv"))
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("ch"),

@@ -110,7 +110,9 @@ def ivf_assign(
             vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             sims = vm @ cm.T
-            top = np.argsort(-sims, axis=1)[:, :spill]
+            # stable: ties break toward the lower list_id, matching the
+            # SQL oracle's row_number(ORDER BY cos DESC, list_id)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :spill]
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -157,7 +159,7 @@ def ivf_topk(
     qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
     qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     cm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    probe = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
+    probe = np.argsort(-(qm_n @ cm.T), axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(queries_pd["query_id"].iloc[i]), [float(x) for x in qm[i]], int(l))
         for i in range(len(queries_pd))

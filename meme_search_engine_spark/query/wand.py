@@ -1,9 +1,10 @@
-"""Block-max WAND top-k over posting segments.
+"""Block-max WAND top-k over posting segments — distributed by DATA,
+not by query.
 
 The reference's two-phase approximate-then-exact query engine
 (PQ upper bounds for the frontier, exact fp16 dot for visited —
 /root/reference/src/query_disk_index.rs:169-207) re-expressed for BM25:
-per-block score upper bounds (idf·(k1+1)·block_max_tfnorm) prune whole
+per-block score upper bounds (idf·(k1+1)·bound_tfnorm) prune whole
 blocks below the running top-k threshold θ; surviving blocks are
 decoded and scored exactly in fixed-point.
 
@@ -18,10 +19,30 @@ Correctness argument (rank-identity with the exhaustive engine):
   partial sums stay < θ and cannot displace them.
 Property-tested against the exhaustive engine in tests/test_wand.py.
 
-Distribution shape: segment scan is pruned to the query terms' hash
-buckets (partition pruning) + term_hash pushdown; the per-query scoring
-group ships only those terms' compressed blocks.  The driver-side plan
-is all DataFrame ops; the kernel is numpy over Arrow batches.
+Distribution shape (the r01 fix — the old plan shipped ALL blocks of a
+query into ONE `groupBy(query_id)` task, a funnel at head-term scale):
+
+1. segment scan pruned to the query terms' hash buckets (partition
+   pruning) + term_hash pushdown — unchanged;
+2. block upper bounds as JVM expressions; a driver-side θ seed from one
+   block per (query, term) (tiny broadcast-pruned read) enables a SOUND
+   DataFrame pre-prune: drop every block with
+   ub(block) + Σ_{other terms} max-ub < θ - slack BEFORE the shuffle;
+3. surviving blocks are salted into ~n_ranges CONTIGUOUS unsigned
+   doc-id ranges (a block overlapping R ranges is sent to all R — block
+   spans are bounded by the build's salt ranges, so duplication is
+   ~1 at scale); the scoring group is (query_id, range_id), whose input
+   is bounded by the range width regardless of term df — the same
+   skew-bound argument as the build's salted posting shuffle;
+4. each group runs the full block-max WAND kernel on its doc window
+   (locally-seeded θ, floored by the driver seed) and emits a LOCAL
+   exact top-k — sound because the kth-largest within a subset
+   lower-bounds nothing it reports and every doc's contributions are
+   wholly inside one range;
+5. global merge = per-query window over ≤ k·n_ranges rows (tiny).
+
+Reference analogue of the fan-out/merge: sharded query dispatch +
+driver-side heap merge, query_disk_index.rs:447-450,486-511.
 """
 
 from __future__ import annotations
@@ -32,7 +53,7 @@ import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..common.bm25 import FIXED_POINT_SCALE
 from ..common.codecs import varbyte_decode
@@ -42,29 +63,64 @@ RESULT_SCHEMA = (
     "query_id int, rank int, doc_id long, score_fixed long, score double"
 )
 
+_SIGN = -(2**63)
+# fixed-point slack absorbing JVM-vs-numpy 1-ulp drift in the
+# DataFrame-side bound (pruning stays sound: we only keep MORE blocks)
+_UB_SLACK = 16
+
 
 def _decode_block(doc_ids_b, tfs_b, dls_b):
     d = np.cumsum(varbyte_decode(doc_ids_b), dtype=np.int64)
     return d, varbyte_decode(tfs_b), varbyte_decode(dls_b)
 
 
+def _contribs_fixed(
+    idf: float, tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    tfs_f = tfs.astype(np.float64)
+    dls_f = dls.astype(np.float64)
+    tf_norm = tfs_f / (tfs_f + k1 * ((1.0 - b) + (b * dls_f) / avgdl))
+    contrib = idf * (k1 + 1.0) * tf_norm
+    return np.floor(contrib * float(FIXED_POINT_SCALE) + 0.5).astype(np.int64)
+
+
+def bm25_idf_py(df_t: int, n_docs: int) -> float:
+    return math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+
 def score_query_blocks(
-    pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float, b: float
+    pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    doc_shift: int | None = None,
+    range_id: int | None = None,
+    theta0: int = 0,
 ) -> pd.DataFrame:
     """Block-max WAND scoring of ONE query's candidate blocks.
 
     pdf columns: query_id, k, term_hash, df, block_id, n_docs,
     min_doc_id, max_doc_id, doc_ids, tfs, dls, block_max_tfnorm.
     Shared by the distributed grouped-map path (wand_topk) and the
-    driver-local serving path (query.serve.LocalSearcher)."""
+    driver-local serving path (query.serve.LocalSearcher).
+
+    doc_shift/range_id: when set, only postings whose unsigned doc_id
+    satisfies (udoc >> doc_shift) == range_id are scored — the doc-range
+    window of one distributed scoring group.  theta0: externally-seeded
+    top-k threshold floor (a valid lower bound of the GLOBAL kth score,
+    hence also of any subset's kth reported score's requirement)."""
     two32 = float(FIXED_POINT_SCALE)
 
-    def contribs_fixed(idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
-        tfs_f = tfs.astype(np.float64)
-        dls_f = dls.astype(np.float64)
-        tf_norm = tfs_f / (tfs_f + k1 * ((1.0 - b) + (b * dls_f) / avgdl))
-        contrib = idf * (k1 + 1.0) * tf_norm
-        return np.floor(contrib * two32 + 0.5).astype(np.int64)
+    def decode_masked(t, b_i):
+        d, tfs, dls = _decode_block(
+            t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
+        )
+        if doc_shift is not None:
+            m = (d.astype(np.uint64) >> np.uint64(doc_shift)) == np.uint64(range_id)
+            if not m.all():
+                d, tfs, dls = d[m], tfs[m], dls[m]
+        return d, tfs, dls
 
     query_id = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
@@ -78,7 +134,7 @@ def score_query_blocks(
     for th, g in pdf.groupby("term_hash"):
         g = g.sort_values("_umin")
         df_t = int(g["df"].iloc[0])
-        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        idf = bm25_idf_py(df_t, n_docs)
         # dynamic block bound from (max_tf, min_dl): valid for the
         # CURRENT avgdl even when blocks were encoded under an older
         # one (incremental appends shift avgdl); tf_norm is monotone
@@ -102,7 +158,7 @@ def score_query_blocks(
         )
 
     # ---- phase 1: θ seed from the highest-ub blocks (exact partial
-    # sums are valid lower bounds)
+    # sums are valid lower bounds); floored by the external seed
     flat = [
         (t_i, b_i, int(t["ub"][b_i]), int(t["n"][b_i]))
         for t_i, t in enumerate(terms)
@@ -115,23 +171,21 @@ def score_query_blocks(
         covered += n
         if covered >= 2 * k:
             break
-    theta = 0
+    theta = int(theta0)
     if seed:
         ids_parts, c_parts = [], []
         for t_i, b_i in seed:
             t = terms[t_i]
-            d, tfs, dls = _decode_block(
-                t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
-            )
+            d, tfs, dls = decode_masked(t, b_i)
             ids_parts.append(d)
-            c_parts.append(contribs_fixed(t["idf"], tfs, dls))
+            c_parts.append(_contribs_fixed(t["idf"], tfs, dls, k1, b, avgdl))
         ids = np.concatenate(ids_parts)
         cs = np.concatenate(c_parts)
         uniq, inv = np.unique(ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sums, inv, cs)
         if len(sums) >= k:
-            theta = int(np.partition(sums, -k)[-k])
+            theta = max(theta, int(np.partition(sums, -k)[-k]))
 
     # ---- phase 2: block-max pruning with doc-range-aware bounds
     survivors: list[tuple[int, int]] = []
@@ -165,11 +219,9 @@ def score_query_blocks(
     ids_parts, c_parts = [], []
     for t_i, b_i in survivors:
         t = terms[t_i]
-        d, tfs, dls = _decode_block(
-            t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
-        )
+        d, tfs, dls = decode_masked(t, b_i)
         ids_parts.append(d)
-        c_parts.append(contribs_fixed(t["idf"], tfs, dls))
+        c_parts.append(_contribs_fixed(t["idf"], tfs, dls, k1, b, avgdl))
     ids = np.concatenate(ids_parts)
     cs = np.concatenate(c_parts)
     uniq, inv = np.unique(ids, return_inverse=True)
@@ -188,27 +240,102 @@ def score_query_blocks(
     )
 
 
+def _block_ub_col(n_docs: int, avgdl: float, k1: float, b: float):
+    """Fixed-point block score upper bound as JVM expressions — the
+    same formula (and association order) as the kernel's numpy bound."""
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    mtf = F.col("max_tf").cast("double")
+    mdl = F.col("min_dl").cast("double")
+    btf = mtf / (
+        mtf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * mdl) / F.lit(avgdl))
+    )
+    return F.floor(
+        idf * F.lit(k1 + 1.0) * btf * F.lit(float(FIXED_POINT_SCALE)) + F.lit(0.5)
+    ).cast("long")
 
-def wand_topk(
+
+def _seed_thetas(
+    spark: SparkSession,
+    blocks: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> dict[int, int]:
+    """Driver-side θ seed: decode ONE block per (query, term) — block 0,
+    a broadcast-pruned tiny read — and take the kth-largest exact
+    partial sum per query.  Partial sums lower-bound totals, so every
+    θ_q ≤ the query's true kth score (sound for pruning)."""
+    rows = blocks.filter(F.col("block_id") == 0).select(
+        "query_id", "k", "term_hash", "df", "doc_ids", "tfs", "dls"
+    ).collect()
+    per_q: dict[int, dict] = {}
+    for r in rows:
+        q = per_q.setdefault(
+            int(r["query_id"]), {"k": int(r["k"]), "ids": [], "cs": []}
+        )
+        d, tfs, dls = _decode_block(r["doc_ids"], r["tfs"], r["dls"])
+        idf = bm25_idf_py(int(r["df"]), n_docs)
+        q["ids"].append(d)
+        q["cs"].append(_contribs_fixed(idf, tfs, dls, k1, b, avgdl))
+    thetas: dict[int, int] = {}
+    for qid, q in per_q.items():
+        ids = np.concatenate(q["ids"])
+        cs = np.concatenate(q["cs"])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, cs)
+        k = q["k"]
+        thetas[qid] = int(np.partition(sums, -k)[-k]) if len(sums) >= k else 0
+    return thetas
+
+
+# below this corpus size the θ-seed read costs more than the shuffle it
+# saves — the in-kernel pruning alone is plenty (planner heuristic)
+PRE_PRUNE_MIN_DOCS = 200_000
+
+
+def plan_candidate_blocks(
     spark: SparkSession,
     segments: DataFrame,
-    term_stats: DataFrame,
     manifest: dict,
     queries: DataFrame,
     default_k: int = 10,
-) -> DataFrame:
-    """Block-max WAND top-k for a batch of queries against a built
-    index.  Returns (query_id, rank, doc_id, score_fixed, score) —
-    rank-identical to the exhaustive engine."""
+    n_ranges: int | str = "auto",
+    pre_prune: bool | str = "auto",
+):
+    """Build the (pre-pruned, range-salted) candidate-block DataFrame.
+
+    Returns (exploded_blocks_df, doc_shift, k_df) — exposed separately
+    so tests can assert the per-(query, range) input bound under skew.
+
+    pre_prune: True | False | "auto" (seed only when the index is big
+    enough that a tiny extra read pays for the shuffle volume it cuts).
+    """
     cfg = manifest["config"]
     stats = manifest["stats"]
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = cfg["k1"], cfg["b"]
+    if pre_prune == "auto":
+        pre_prune = n_docs >= PRE_PRUNE_MIN_DOCS
+    if n_ranges == "auto":
+        # one scoring task per ~16k docs, capped: small corpora don't
+        # pay fan-out/merge overhead, web-scale corpora get the full
+        # spread (the cap is per QUERY — a 64-query batch at 256 ranges
+        # is already 16k-way parallel)
+        n_ranges = int(min(256, max(1, n_docs // 16_384)))
+
     qt = query_terms(queries, default_k)
     # driver-side pruning plan: buckets + term hashes of the query set
     # (tiny collect — this is the reference's "pick start shard" step,
     # query_disk_index.rs:447-450, as partition pruning)
     q_hashes = [r["term_hash"] for r in qt.select("term_hash").distinct().collect()]
     if not q_hashes:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None, 0, None
     buckets = sorted({h % cfg["n_buckets"] for h in q_hashes})
     pruned = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term_hash").isin(q_hashes)
@@ -217,10 +344,129 @@ def wand_topk(
         "query_id", "k", "term_hash", "df", "block_id", "n_docs",
         "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
         "block_max_tfnorm", "max_tf", "min_dl",
+    ).withColumn("ub", _block_ub_col(n_docs, avgdl, k1, b))
+
+    thetas = {}
+    if pre_prune:
+        thetas = _seed_thetas(spark, blocks, n_docs, avgdl, k1, b)
+        if any(thetas.values()):
+            # per-(query, term) global max ub — metadata-only agg
+            # (Catalyst prunes the binary payload columns out of it)
+            tg = blocks.groupBy("query_id", "term_hash").agg(
+                F.max("ub").alias("tmax")
+            )
+            qtot = tg.groupBy("query_id").agg(F.sum("tmax").alias("ttot"))
+            other = tg.join(qtot, "query_id").select(
+                "query_id",
+                "term_hash",
+                (F.col("ttot") - F.col("tmax")).alias("other_max"),
+            )
+            theta_df = spark.createDataFrame(
+                [(qid, th) for qid, th in thetas.items()],
+                "query_id int, theta long",
+            )
+            blocks = (
+                blocks.join(F.broadcast(other), ["query_id", "term_hash"])
+                .join(F.broadcast(theta_df), "query_id")
+                .filter(
+                    F.col("ub") + F.col("other_max")
+                    >= F.col("theta") - F.lit(_UB_SLACK)
+                )
+                .drop("other_max", "theta")
+            )
+
+    # ---- doc-range salting: contiguous unsigned doc-id ranges --------
+    # span from manifest stats when the ids are plainly non-negative
+    # (dense-id corpora) — no extra job; hashed-id corpora (negative
+    # ids possible) pay one tiny metadata agg on the pruned blocks
+    s_min, s_max = stats.get("min_doc_id"), stats.get("max_doc_id")
+    if s_min is not None and s_max is not None and s_min >= 0:
+        u_lo, u_hi = int(s_min), int(s_max)
+    else:
+        span_row = blocks.agg(
+            F.min(F.col("min_doc_id").bitwiseXOR(F.lit(_SIGN))).alias("lo"),
+            F.max(F.col("max_doc_id").bitwiseXOR(F.lit(_SIGN))).alias("hi"),
+        ).collect()[0]
+        if span_row["lo"] is None:
+            return None, 0, None
+        u_lo = span_row["lo"] + 2**63
+        u_hi = span_row["hi"] + 2**63
+    span = max(u_hi - u_lo, 0) + 1
+    # 2^shift ≈ span / n_ranges (shift ≥ 1 keeps shifted values
+    # non-negative and unsigned-ordered)
+    doc_shift = max(1, min(63, (max(span // max(n_ranges, 1), 1)).bit_length()))
+    exploded = blocks.withColumn(
+        "range_id",
+        F.explode(
+            F.sequence(
+                F.shiftrightunsigned("min_doc_id", doc_shift),
+                F.shiftrightunsigned("max_doc_id", doc_shift),
+            )
+        ),
     )
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    # per-query theta0 column (0 when unseeded)
+    if thetas:
+        seed_df = spark.createDataFrame(
+            [(qid, th) for qid, th in thetas.items()],
+            "query_id int, theta0_seed long",
+        )
+        exploded = (
+            exploded.join(F.broadcast(seed_df), "query_id", "left")
+            .withColumn("theta0", F.coalesce("theta0_seed", F.lit(0)))
+            .drop("theta0_seed")
+        )
+    else:
+        exploded = exploded.withColumn("theta0", F.lit(0).cast("long"))
+    k_df = qt.select("query_id", "k").distinct()
+    return exploded, doc_shift, k_df
+
+
+def wand_topk(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    manifest: dict,
+    queries: DataFrame,
+    default_k: int = 10,
+    n_ranges: int | str = "auto",
+    pre_prune: bool | str = "auto",
+) -> DataFrame:
+    """Block-max WAND top-k for a batch of queries against a built
+    index.  Returns (query_id, rank, doc_id, score_fixed, score) —
+    rank-identical to the exhaustive engine.
+
+    Scoring groups are (query_id, doc-range) — per-task input is
+    bounded by the range width regardless of term df (head-term safe);
+    the per-query global merge sees ≤ k·n_ranges rows."""
+    cfg = manifest["config"]
+    stats = manifest["stats"]
+    exploded, doc_shift, k_df = plan_candidate_blocks(
+        spark, segments, manifest, queries, default_k, n_ranges, pre_prune
+    )
+    if exploded is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return score_query_blocks(
-            pdf, stats["N"], stats["avgdl"], cfg["k1"], cfg["b"]
+            pdf,
+            stats["N"],
+            stats["avgdl"],
+            cfg["k1"],
+            cfg["b"],
+            doc_shift=doc_shift,
+            range_id=int(key[1]),
+            theta0=int(pdf["theta0"].iloc[0]),
         )
 
-    return blocks.groupBy("query_id").applyInPandas(kernel, RESULT_SCHEMA)
+    partial = exploded.groupBy("query_id", "range_id").applyInPandas(
+        kernel, RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fixed"), F.asc("doc_id")
+    )
+    return (
+        partial.join(F.broadcast(k_df), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score_fixed", "score")
+    )

@@ -7,7 +7,7 @@ import pytest
 
 import pyspark.sql.functions as F
 
-from meme_search_engine_spark.common.hashing import term_hash, xxh64_bytes
+from meme_search_engine_spark.common.hashing import xxh64_bytes
 from meme_search_engine_spark.common.textproc import tokenize
 from meme_search_engine_spark.ops import dedup, multimodal, similarity, textstats
 
@@ -76,14 +76,17 @@ def test_minhash_lsh_candidates(spark, docs_df):
 
 
 def test_simhash_matches_pure_python(spark, docs_df):
+    """The JVM-aggregate SimHash (md5-derived term bits, no per-doc
+    pandas groups) equals the straightforward pure-Python definition."""
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
 
     def pure_simhash(text):
+        import hashlib
         from collections import Counter
 
         score = [0.0] * 64
         for term, tf in Counter(tokenize(text)).items():
-            h = term_hash(term) & 0xFFFFFFFFFFFFFFFF
+            h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
             for i in range(64):
                 score[i] += tf if (h >> i) & 1 else -tf
         sig = 0
@@ -96,6 +99,60 @@ def test_simhash_matches_pure_python(spark, docs_df):
     for r in rows:
         assert got[r["doc_id"]] == pure_simhash(r["text"]), r["doc_id"]
     assert got[0] == got[1]  # identical docs -> identical signature
+
+
+def test_minhash_md5_strategy_matches_xxhash_candidates_shape(spark, docs_df):
+    """The md5 (oracle-able) strategy finds the same obvious candidates
+    as the xxhash64 production strategy on the fixture corpus."""
+    md5c = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_df, n_hashes=16, bands=8, n=3, hash_strategy="md5"
+        ).collect()
+    }
+    assert (0, 1) in md5c
+    assert (0, 3) not in md5c and (3, 6) not in md5c
+
+
+def test_hot_shingle_cap_keeps_near_dup_recall(spark):
+    """Zipf-skew corpus: one boilerplate sentence shared by EVERY doc
+    (the hot shingles) + per-doc unique content + one genuine near-dup
+    pair.  With the cap, the hot shingles drop, candidate volume
+    collapses from all-pairs to the true pair, and the near-dup pair is
+    still found."""
+    boiler = "all rights reserved contact us for details terms apply"
+    rows = [
+        (i, f"{boiler} unique content number {i} about topic {i * 7} xyz{i}")
+        for i in range(30)
+    ]
+    # genuine near-dups: same long tail, one word changed
+    rows.append((100, f"{boiler} spark engines process huge analytic workloads fast"))
+    rows.append((101, f"{boiler} spark engines process huge analytic workloads quickly"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs  # recall on the true near-dup kept
+    # every boilerplate-only pair is gone (they share ONLY hot shingles)
+    assert all(a == 100 for a, b in pairs), pairs
+
+    # candidate-generation volume: capped shingle table joins to the
+    # true pair only, not 32^2 boilerplate candidates
+    sh = dedup.shingles(docs, n=3, max_shingle_df=5)
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    uncapped_sh = dedup.shingles(docs, n=3)
+    inter_uncapped = (
+        uncapped_sh.alias("a")
+        .join(uncapped_sh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert inter < inter_uncapped / 10, (inter, inter_uncapped)
 
 
 def test_simhash_near_pairs(spark, docs_df):

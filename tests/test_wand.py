@@ -4,6 +4,8 @@ change results (SURVEY.md §5.3/5.4)."""
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from meme_search_engine_spark.datagen import ensure_corpus, generate_queries
 from meme_search_engine_spark.index.builder import build_index, load_index
 from meme_search_engine_spark.index.postings import IndexConfig
@@ -64,6 +66,66 @@ def test_wand_empty_query_and_absent_terms(spark, built):
         "query_id int, text string, k int",
     )
     assert wand_topk(spark, segments, term_stats, manifest, qdf).count() == 0
+
+
+def test_wand_head_term_skew_bounded_groups(spark, tmp_path):
+    """A 100%-df head term must NOT funnel into one scoring task: the
+    (query, doc-range) grouping bounds per-task input by the range
+    width regardless of term df (the r01 single-task-per-query fix),
+    and results stay rank-identical to the brute-force oracle."""
+    from meme_search_engine_spark.query.wand import plan_candidate_blocks
+
+    n_docs = 2048
+    rows = [
+        (
+            i,
+            "headterm " * (1 + i % 3)
+            + f"u{i} v{i % 17} w{i % 5} filler{i % 101} "
+            + "pad " * (i % 7),
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out = str(tmp_path / "skew_idx")
+    cfg = IndexConfig(salt_shift=7, n_buckets=8, n_parts=2, block_size=32)
+    build_index(spark, docs, out, cfg)
+    segments, term_stats, manifest = load_index(spark, out)
+    qdf = spark.createDataFrame(
+        [(0, "headterm filler3", 10)], "query_id int, text string, k int"
+    )
+
+    # pre_prune=True forces the θ-seed + DataFrame pre-prune path even
+    # on this small corpus (the "auto" planner would skip it)
+    exploded, doc_shift, _ = plan_candidate_blocks(
+        spark, segments, manifest, qdf, n_ranges=16, pre_prune=True
+    )
+    sizes = [
+        r["n"]
+        for r in exploded.groupBy("query_id", "range_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    total = sum(sizes)
+    # the head term alone has n_docs/block_size = 64 blocks; a single
+    # task would take ALL of them — the range grouping must spread them
+    assert len(sizes) >= 8, sizes
+    assert max(sizes) <= max(4, total // 4), (max(sizes), total)
+
+    # distribution must not change results: rank-identical to the oracle
+    oracle = OracleIndex.build(rows)
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score_fixed"])
+        for r in wand_topk(
+            spark, segments, term_stats, manifest, qdf, pre_prune=True
+        ).collect()
+    )
+    expected = [
+        (rank, doc_id, sf)
+        for rank, doc_id, sf, _ in oracle.topk("headterm filler3", 10)
+    ]
+    assert got == expected
 
 
 def test_wand_k_larger_than_matches(spark, built):
