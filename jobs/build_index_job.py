@@ -44,6 +44,11 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         spark = active  # spark-submit provided the session config
+        # project invariant: EVERY session path ships the package zip
+        # (idempotent; a no-op when --py-files already did it)
+        from meme_search_engine_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
     else:
         from meme_search_engine_spark.session import get_spark
 

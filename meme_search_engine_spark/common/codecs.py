@@ -130,3 +130,18 @@ def decode_postings_block(doc_ids_bytes: bytes, tfs_bytes: bytes, dls_bytes: byt
         varbyte_decode(tfs_bytes),
         varbyte_decode(dls_bytes),
     )
+
+
+# ------------------------------------------------------------------- fp16
+
+def fp16_encode(vec: np.ndarray) -> bytes:
+    """float vector -> packed little-endian fp16 bytes — the
+    reference's half-precision embedding storage
+    (/root/reference/src/common.rs:98-108): 2x footprint cut for
+    embedding columns at 10^12-row scale, ~1e-3 relative rounding."""
+    return np.asarray(vec, dtype="<f2").tobytes()
+
+
+def fp16_decode(data: bytes) -> np.ndarray:
+    """Inverse of fp16_encode -> float32 vector."""
+    return np.frombuffer(data, dtype="<f2").astype(np.float32)

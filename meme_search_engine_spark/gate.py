@@ -146,6 +146,47 @@ WHERE r.rank <= qk.k
 """
 
 
+SQL_BM25_QUALITY = f"""
+WITH docs AS (
+  SELECT doc_id, {{SQL_TOKS}} AS toks FROM documents
+),
+tf0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf0 GROUP BY 1,2,3),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl
+  FROM (SELECT doc_id, len(toks) AS dl FROM docs)
+),
+qt AS (SELECT DISTINCT * FROM (VALUES {{QT}}) AS t(query_id, term)),
+qk AS (SELECT * FROM (VALUES {{QK}}) AS t(query_id, k)),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(floor(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0) * {K1 + 1.0}
+      * (tf.tf/(tf.tf + {K1}*(1.0 - {B} + {B}*tf.dl/s.avgdl)))
+      * {float(FIXED_POINT_SCALE)} + 0.5) AS BIGINT) AS contrib
+  FROM tf
+  JOIN qt q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+),
+aggd AS (SELECT query_id, doc_id, sum(contrib) AS sf FROM scored GROUP BY 1,2),
+{{PRIOR}},
+aggp AS (
+  SELECT a.query_id, a.doc_id, a.sf + p.prior_fixed AS sf
+  FROM aggd a JOIN prior p USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, sf,
+         row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, doc_id) AS rank
+  FROM aggp
+)
+SELECT r.query_id, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+       round(r.sf/{float(FIXED_POINT_SCALE)}, 4) AS score
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+"""
+
+
 # weighted query algebra gate set: (query_id, term, weight, k) — the
 # reference's multi-term weighted queries (negative weight = demote)
 GATE_WEIGHTED: list[tuple[int, str, float, int]] = [
@@ -209,6 +250,62 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
        round(sf/{float(FIXED_POINT_SCALE)}, 4) AS score
 FROM ranked WHERE rank <= k
+"""
+
+
+# quality-prior channel weights (reference: per-item score channels,
+# query_disk_index.rs:135-142 — ours over textstats quality features)
+QUALITY_W_DISTINCT = 0.5
+QUALITY_W_STOPWORD = -0.25
+
+
+def quality_prior_fixed(docs_table: DataFrame) -> DataFrame:
+    """(doc_id, prior_fixed): fixed-point Σ wᵢ·channelᵢ over the ROUNDED
+    quality ratios, so the SQL oracle reproduces it bit-exactly."""
+    from .ops.textstats import quality_scores
+
+    qs = quality_scores(docs_table)
+    prior = (
+        F.lit(QUALITY_W_DISTINCT) * F.col("distinct_ratio")
+        + F.lit(QUALITY_W_STOPWORD) * F.col("stopword_ratio")
+    ) * F.lit(float(FIXED_POINT_SCALE)) + F.lit(0.5)
+    return qs.select(
+        "doc_id", F.floor(prior).cast("long").alias("prior_fixed")
+    )
+
+
+def q_bm25_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + quality-prior ranking: score = bm25 + w·distinct_ratio
+    + w·stopword_ratio (fixed-point), the reference's query-time score
+    channels (query_disk_index.rs:135-142,463-473)."""
+    from .query.dataframe_engine import bm25_topk_with_prior
+
+    c = _corpus(spark, sf_dir)
+    priors = quality_prior_fixed(_load(spark, sf_dir, "documents"))
+    out = bm25_topk_with_prior(
+        c["tf"], c["term_df"], c["stats"], _gate_query_df(spark), priors
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+SQL_QUALITY_PRIOR = f"""
+qdocs AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+prior AS (
+  SELECT doc_id,
+    CAST(floor((
+      {QUALITY_W_DISTINCT} * round(len(list_distinct(toks)) * 1.0
+          / greatest(len(toks), 1), 4)
+      + {QUALITY_W_STOPWORD} * round(len(list_filter(toks,
+          x -> x IN ('the','a','of','and','to','in','is','that'))) * 1.0
+          / greatest(len(toks), 1), 4)
+    ) * {float(FIXED_POINT_SCALE)} + 0.5) AS BIGINT) AS prior_fixed
+  FROM qdocs
+)
 """
 
 
@@ -357,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_weighted_topk": q_bm25_weighted_topk,
+        "bm25_quality_topk": q_bm25_quality_topk,
         "bm25_topk_dedup": q_bm25_topk_dedup,
         "doc_stats": q_doc_stats,
         "doc_lengths": q_doc_lengths,
@@ -381,10 +479,17 @@ def oracle_sql() -> dict[str, str]:
         head + ", base AS (SELECT r.query_id" + tail + ")"
         + SQL_BM25_TOPK_DEDUP_SUFFIX
     )
+    quality_sql = (
+        SQL_BM25_QUALITY.replace("{SQL_TOKS}", SQL_TOKS)
+        .replace("{QT}", _gate_query_values_sql())
+        .replace("{QK}", _gate_query_k_sql())
+        .replace("{PRIOR}", SQL_QUALITY_PRIOR.strip())
+    )
     out = {
         "bm25_topk": bm25_sql,
         "bm25_wand_topk": bm25_sql,
         "bm25_weighted_topk": SQL_BM25_WEIGHTED.replace("{QW}", weighted_values),
+        "bm25_quality_topk": quality_sql,
         "bm25_topk_dedup": dedup_sql,
         "doc_stats": SQL_DOC_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,

@@ -44,14 +44,27 @@ from .postings import (
 
 
 def input_snapshot(df: DataFrame) -> str:
-    """Lineage id: hash of the sorted input file list (Iceberg-snapshot
-    stand-in; files are immutable in the lake layout)."""
+    """Lineage id: hash of (sorted input file list, expr-id-scrubbed
+    logical plan).  The file list alone is the Iceberg-snapshot
+    stand-in (files are immutable in the lake layout); the plan
+    fingerprint distinguishes DIFFERENT logical inputs over the SAME
+    files — e.g. a build over pages and an append over
+    pages.filter(doc_id >= N) — so a resume can never silently skip
+    work because an unrelated job already 'completed' those files.
+    Expr ids (#123L) are session-assigned and scrubbed; the rest of an
+    analyzed plan string is a pure function of the query."""
+    import re
+
     files = sorted(df.inputFiles())
-    if not files:
-        return "inmem"
     h = hashlib.sha256()
     for f in files:
         h.update(f.encode())
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        h.update(re.sub(r"#\d+L?", "", plan).encode())
+    except Exception:
+        if not files:
+            return "inmem"
     return h.hexdigest()[:16]
 
 
@@ -64,11 +77,15 @@ def _ledger_path(out_dir: str) -> str:
 
 
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """None when no ledger exists yet.  Existence-checked (local-fs
+    index layout) rather than caught — a caught AnalysisException
+    prints a full Java stack trace into otherwise-clean driver logs."""
     path = _ledger_path(out_dir)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
         return None
+    return spark.read.parquet(path)
 
 
 def completed_parts(
@@ -247,11 +264,31 @@ def build_index(
 
 
 def _write_docmeta(docs: DataFrame, out_dir: str, epoch: int) -> None:
-    """Sidecar (doc_id, url, doc_len) table — what lets query results
-    surface URLs (the reference returns filenames/urls, not raw ids:
-    query_disk_index.rs:531-541).  Epoch-append like the partials."""
+    """Sidecar (doc_id, url, doc_len, quality channels) table — what
+    lets query results surface URLs (the reference returns
+    filenames/urls, not raw ids: query_disk_index.rs:531-541) and what
+    feeds the quality-prior ranking channel at serve time (the
+    reference's per-item score descriptors, query_disk_index.rs:
+    135-142).  Channels are the ROUNDED ratios the gate oracle uses,
+    computed from the already-materialized token arrays (cheap vs
+    tokenize).  Epoch-append like the partials."""
+    from ..ops.textstats import STOPWORDS
+
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    denom = F.greatest(F.col("doc_len"), F.lit(1))
+    distinct_ratio = F.round(F.size(F.array_distinct("tokens")) / denom, 4)
+    stopword_ratio = F.round(
+        F.size(F.filter("tokens", lambda t: F.array_contains(stop, t))) / denom,
+        4,
+    )
     (
-        docs.select("doc_id", "url", "doc_len")
+        docs.select(
+            "doc_id",
+            "url",
+            "doc_len",
+            distinct_ratio.alias("distinct_ratio"),
+            stopword_ratio.alias("stopword_ratio"),
+        )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "docmeta", f"epoch={epoch}"))
     )
@@ -293,6 +330,7 @@ def append_to_index(
     new_pages: DataFrame,
     out_dir: str,
     cache_docs: bool | None = None,
+    fail_before_finalize: bool = False,
 ) -> dict:
     """Incremental index append — the reference's online reindex loop
     (ingest -> rebuild -> atomic swap, /root/reference/src/main.rs:
@@ -316,11 +354,25 @@ def append_to_index(
     cfg = IndexConfig(**manifest["config"])
     old = manifest["stats"]
 
+    snapshot = input_snapshot(new_pages)
     led = read_ledger(spark, out_dir)
     epoch = 0
     if led is not None:
-        epoch = led.agg(F.max("epoch")).collect()[0][0] + 1
-    snapshot = input_snapshot(new_pages)
+        # crash-retry idempotence: if THIS snapshot already has ledger
+        # rows (a previous append died between its ledger commit and
+        # _finalize/stats update), REUSE that epoch — completed_parts +
+        # dynamic partition overwrite then make the retry a no-op per
+        # part.  Allocating max+1 here would leave the crashed epoch's
+        # partials on disk and double-count the appended docs at merge.
+        prev = (
+            led.filter(F.col("input_snapshot") == snapshot)
+            .agg(F.max("epoch"))
+            .collect()[0][0]
+        )
+        if prev is not None:
+            epoch = int(prev)
+        else:
+            epoch = int(led.agg(F.max("epoch")).collect()[0][0]) + 1
 
     docs = docs_from_pages(new_pages)
     if cache_docs is None:
@@ -371,6 +423,8 @@ def append_to_index(
     _write_docmeta(docs, out_dir, epoch)
     if cache_docs:
         docs.unpersist()
+    if fail_before_finalize:
+        raise InjectedFailure("injected append failure before finalize")
 
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh)

@@ -93,6 +93,39 @@ def cosine_topk_gemm(
     )
 
 
+# ------------------------------------------------------------------ fp16
+
+def pack_embeddings_fp16(
+    embeddings: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """array<float> column -> packed fp16 binary (`<col>_fp16`) — the
+    reference's half-precision vector storage (common.rs:98-108); 2x
+    the footprint cut for the dominant column of an embedding table.
+    Arrow-batched numpy cast, one matrix op per batch."""
+    import pyarrow  # noqa: F401  (documents the Arrow path)
+
+    from ..common.codecs import fp16_encode
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: fp16_encode(np.asarray(v, dtype=np.float32)))
+
+    return embeddings.withColumn(f"{col}_fp16", pack(F.col(col))).drop(col)
+
+
+def unpack_embeddings_fp16(
+    df: DataFrame, col: str = "embedding_fp16", out: str = "embedding"
+) -> DataFrame:
+    """Inverse of pack_embeddings_fp16 -> array<float> column."""
+    from ..common.codecs import fp16_decode
+
+    @F.pandas_udf("array<float>")
+    def unpack(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: fp16_decode(b).tolist())
+
+    return df.withColumn(out, unpack(F.col(col))).drop(col)
+
+
 # ------------------------------------------------------------------- IVF
 
 def ivf_assign(
@@ -149,11 +182,21 @@ def ivf_topk(
     n_lists: int = 8,
     n_probe: int = 3,
     spill: int = 1,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: build lists once, probe only the n_probe nearest lists
     per query.  Returns (query_id, rank, vec_id, cosine).  Approximate;
-    recall vs brute force is property-tested."""
-    cents = deterministic_centroids(embeddings, n_lists)
+    recall vs brute force is property-tested.
+
+    centroids: pass a trained matrix (ops.kmeans.train_balanced_kmeans
+    — the production path: balanced lists keep probe cost uniform);
+    default falls back to the deterministic first-N stand-in, which the
+    SQL correctness oracle can replay."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(embeddings, n_lists)
+    )
     assigned = ivf_assign(embeddings, cents, spill)
 
     qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)

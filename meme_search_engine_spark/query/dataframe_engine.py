@@ -96,6 +96,56 @@ def bm25_topk_weighted(
     )
 
 
+def bm25_topk_with_prior(
+    tf: DataFrame,
+    term_df: DataFrame,
+    stats: dict,
+    queries: DataFrame,
+    priors: DataFrame,
+    default_k: int = 10,
+) -> DataFrame:
+    """BM25 + per-document quality prior — the reference's score
+    channels: per-item weight/512-scaled descriptors added into every
+    node score at query time
+    (/root/reference/src/query_disk_index.rs:135-142,463-473).
+
+    priors: (doc_id, prior_fixed int64) — already fixed-point (same
+    2^32 scale), typically floor(Σ wᵢ·channelᵢ(doc) · 2^32 + 0.5) over
+    ops.textstats.quality_scores channels.  The prior applies only to
+    docs matching ≥1 query term (a ranking prior, not a recall source).
+
+    Plan shape: the prior join happens AFTER the (query, doc) aggregate
+    — it shuffles only the candidate set, never the full postings."""
+    qt = query_terms(queries, default_k)
+    qdf = qt.join(term_df, "term_hash")
+    scored = tf.join(F.broadcast(qdf), "term_hash").withColumn(
+        "contrib_fixed", _contrib_fixed(stats["N"], stats["avgdl"])
+    )
+    agg = scored.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("contrib_fixed").alias("bm25_fixed")
+    )
+    agg = agg.join(priors, "doc_id", "left").withColumn(
+        "score_fixed",
+        F.col("bm25_fixed") + F.coalesce(F.col("prior_fixed"), F.lit(0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fixed"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score_fixed",
+            (F.col("score_fixed") / F.lit(float(FIXED_POINT_SCALE))).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def _contrib_fixed(n_docs: int, avgdl: float):
     """Fixed-point BM25 contribution column, mirroring common.bm25
     expression-for-expression (same association order, so JVM doubles

@@ -7,8 +7,15 @@ Request JSON (mse.py-compatible subset):
     {"text": [["query terms", weight], ...], "top_k": 10}
 or the simple form:
     {"query": "free text", "top_k": 10}
+or a saved preset (the reference's predefined_embeddings — reusable
+named query vectors registered server-side, src/main.rs:102-127,
+976-985 — as named term-weight presets stored in the index dir):
+    {"preset": "name", "top_k": 10}
 Response JSON:
     {"matches": [{"rank", "doc_id", "score", "score_fixed"}, ...]}
+
+GET /presets lists saved presets; PUT semantics via
+{"save_preset": "name", "text": [[...], ...]} persist one.
 
 Image/embedding terms from the reference's API have no BM25 analogue
 and return 400 with an explanatory message.
@@ -17,13 +24,41 @@ and return 400 with an explanatory message.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .serve import LocalSearcher
 
 
-def make_handler(searcher: LocalSearcher):
+class PresetStore:
+    """Named term-weight presets persisted next to the index —
+    the reference's predefined_embeddings table (main.rs:102-127):
+    register once, query by name forever."""
+
+    def __init__(self, index_dir: str):
+        self._path = os.path.join(index_dir, "presets.json")
+        self._presets: dict[str, list] = {}
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                self._presets = json.load(fh)
+
+    def names(self) -> list[str]:
+        return sorted(self._presets)
+
+    def get(self, name: str) -> list[tuple[str, float]] | None:
+        terms = self._presets.get(name)
+        return [(str(t), float(w)) for t, w in terms] if terms else None
+
+    def save(self, name: str, terms: list[tuple[str, float]]) -> None:
+        self._presets[name] = [[t, w] for t, w in terms]
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._presets, fh, indent=1)
+        os.replace(tmp, self._path)  # atomic swap, like the manifest
+
+
+def make_handler(searcher: LocalSearcher, presets: PresetStore):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -54,20 +89,39 @@ def make_handler(searcher: LocalSearcher):
             if k < 1:
                 return self._reply(400, {"error": "top_k must be >= 1"})
             try:
-                if "text" in req:
+                if "save_preset" in req:
+                    if "text" not in req:
+                        return self._reply(
+                            400, {"error": "save_preset needs 'text' terms"}
+                        )
+                    terms = [(str(t), float(w)) for t, w in req["text"]]
+                    presets.save(str(req["save_preset"]), terms)
+                    return self._reply(
+                        200, {"saved": str(req["save_preset"])}
+                    )
+                if "preset" in req:
+                    terms = presets.get(str(req["preset"]))
+                    if terms is None:
+                        return self._reply(
+                            404, {"error": f"unknown preset {req['preset']!r}"}
+                        )
+                    matches = searcher.search_weighted(terms, k, with_urls=True)
+                elif "text" in req:
                     terms = [(str(t), float(w)) for t, w in req["text"]]
                     matches = searcher.search_weighted(terms, k, with_urls=True)
                 elif "query" in req:
                     matches = searcher.search(str(req["query"]), k, with_urls=True)
                 else:
                     return self._reply(
-                        400, {"error": "need 'text' or 'query' field"}
+                        400, {"error": "need 'text', 'query', or 'preset'"}
                     )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
             self._reply(200, {"matches": matches})
 
         def do_GET(self):
+            if self.path == "/presets":
+                return self._reply(200, {"presets": presets.names()})
             if self.path == "/health":
                 return self._reply(
                     200,
@@ -88,8 +142,9 @@ class SearchServer:
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 0):
         self.searcher = LocalSearcher(index_dir)
+        self.presets = PresetStore(index_dir)
         self._httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.searcher)
+            (host, port), make_handler(self.searcher, self.presets)
         )
         self._thread: threading.Thread | None = None
 

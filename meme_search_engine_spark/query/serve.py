@@ -107,6 +107,96 @@ class LocalSearcher:
         ]
         return self._attach_urls(results) if with_urls else results
 
+    def _priors_for(
+        self, doc_ids: list[int], w_distinct: float, w_stopword: float
+    ) -> dict[int, int]:
+        """doc_id -> fixed-point quality prior from the docmeta sidecar
+        channels (same formula/rounding as gate.quality_prior_fixed)."""
+        import numpy as np
+
+        from ..common.bm25 import FIXED_POINT_SCALE
+
+        if not doc_ids or not os.path.isdir(self._docmeta_dir):
+            return {}
+        meta = ds.dataset(
+            self._docmeta_dir, format="parquet", partitioning="hive"
+        ).to_table(
+            columns=["doc_id", "distinct_ratio", "stopword_ratio"],
+            filter=pc.field("doc_id").isin(doc_ids),
+        )
+        ids = meta.column("doc_id").to_numpy()
+        dr = meta.column("distinct_ratio").to_numpy()
+        sr = meta.column("stopword_ratio").to_numpy()
+        prior = np.floor(
+            (w_distinct * dr + w_stopword * sr) * float(FIXED_POINT_SCALE) + 0.5
+        ).astype(np.int64)
+        return dict(zip(ids.tolist(), prior.tolist()))
+
+    def search_quality(
+        self,
+        text: str,
+        k: int = 10,
+        w_distinct: float = 0.5,
+        w_stopword: float = -0.25,
+        with_urls: bool = False,
+    ) -> list[dict]:
+        """BM25 + quality-prior ranking — the reference's query-time
+        score channels (query_disk_index.rs:135-142,463-473).  The
+        prior shifts θ per doc, so block-max pruning is not sound
+        as-is; candidates are scored exhaustively over the query
+        terms' postings (same tradeoff as search_weighted), then the
+        docmeta prior is added before ranking.  Rank-identical to
+        bm25_topk_with_prior (pytest)."""
+        import numpy as np
+
+        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
+        from .wand import _decode_block
+
+        hashes = sorted({term_hash(t) for t in tokenize(text)})
+        if not hashes:
+            return []
+        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
+        table = self._dataset.to_table(
+            columns=_BLOCK_COLUMNS,
+            filter=(
+                pc.field("bucket").isin(buckets)
+                & pc.field("term_hash").isin(hashes)
+            ),
+        )
+        if table.num_rows == 0:
+            return []
+        pdf = table.to_pandas()
+        k1, b = self.cfg["k1"], self.cfg["b"]
+        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+        acc: dict[int, int] = {}
+        for th, g in pdf.groupby("term_hash"):
+            idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
+            for r in g.itertuples(index=False):
+                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
+                tf_f = tfs.astype(np.float64)
+                tf_norm = tf_f / (
+                    tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+                )
+                fixed = np.floor(
+                    (idf * (k1 + 1.0) * tf_norm) * float(FIXED_POINT_SCALE) + 0.5
+                ).astype(np.int64)
+                for doc, fx in zip(d.tolist(), fixed.tolist()):
+                    acc[doc] = acc.get(doc, 0) + fx
+        priors = self._priors_for(list(acc), w_distinct, w_stopword)
+        for doc in acc:
+            acc[doc] += priors.get(doc, 0)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        results = [
+            {
+                "rank": i + 1,
+                "doc_id": doc,
+                "score_fixed": sf,
+                "score": sf / float(FIXED_POINT_SCALE),
+            }
+            for i, (doc, sf) in enumerate(ranked)
+        ]
+        return self._attach_urls(results) if with_urls else results
+
     def search_weighted(
         self, terms: list[tuple[str, float]], k: int = 10,
         with_urls: bool = False,

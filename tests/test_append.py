@@ -116,3 +116,30 @@ def test_append_ledger_has_epochs(spark, dirs):
     led = read_ledger(spark, incr)
     epochs = {r["epoch"] for r in led.select("epoch").distinct().collect()}
     assert epochs == {0, 1}
+
+
+def test_append_crash_resume_reuses_epoch(spark, dirs, tmp_path):
+    """An append that dies AFTER its ledger rows commit but BEFORE
+    finalize must, on retry with the same input, REUSE its epoch (not
+    allocate max+1 and double-count the crashed epoch's partials) and
+    converge to the same index as a clean cold build."""
+    from meme_search_engine_spark.index.builder import InjectedFailure
+
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "crash_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+    with pytest.raises(InjectedFailure):
+        append_to_index(
+            spark,
+            pages.filter(F.col("doc_id") >= SPLIT),
+            out,
+            fail_before_finalize=True,
+        )
+    # retry the SAME append to completion
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), out)
+    led = read_ledger(spark, out)
+    epochs = {r["epoch"] for r in led.select("epoch").distinct().collect()}
+    assert epochs == {0, 1}, epochs  # no phantom epoch 2
+    # content equals the module's clean cold build (no doubled tf/df)
+    assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])

@@ -78,6 +78,40 @@ def test_weighted_terms_request(server):
     assert got == expected
 
 
+def test_named_presets_roundtrip(server):
+    """Save a preset, list it, query by name — must equal the same
+    weighted query sent inline (the reference's predefined_embeddings
+    surface, main.rs:102-127,976-985)."""
+    import urllib.request
+
+    srv, _ = server
+    terms = [["term0001", 2.0], ["term0100", 1.0]]
+    code, body = _post(srv.port, {"save_preset": "fav", "text": terms})
+    assert code == 200 and body["saved"] == "fav"
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/presets", timeout=30
+    ) as resp:
+        assert "fav" in json.loads(resp.read())["presets"]
+    code, by_name = _post(srv.port, {"preset": "fav", "top_k": 5})
+    code2, inline = _post(srv.port, {"text": terms, "top_k": 5})
+    assert code == 200 and code2 == 200
+    assert by_name["matches"] == inline["matches"]
+    # unknown preset -> 404
+    code, err = _post(srv.port, {"preset": "nope"})
+    assert code == 404 and "unknown preset" in err["error"]
+    # persistence: a fresh server over the same index dir sees it
+    from meme_search_engine_spark.query.http_server import PresetStore
+
+    store = PresetStore(_index_dir_of(srv))
+    assert store.get("fav") == [("term0001", 2.0), ("term0100", 1.0)]
+
+
+def _index_dir_of(srv):
+    import os
+
+    return os.path.dirname(srv.presets._path)
+
+
 def test_health_and_errors(server):
     srv, _ = server
     with urllib.request.urlopen(

@@ -193,6 +193,45 @@ def test_cosine_gemm_matches_exact(spark, emb_df):
         assert exact[key][1] == pytest.approx(gemm[key][1], abs=1e-6)
 
 
+def test_balanced_kmeans_balances_and_keeps_recall(spark, emb_df):
+    """train_balanced_kmeans must (a) produce usable, reasonably
+    balanced lists where the first-N stand-in is skewed, and (b) not
+    hurt IVF recall vs brute force."""
+    from meme_search_engine_spark.ops import kmeans
+
+    base = emb_df.filter(F.col("vec_id") >= 5)
+    n_lists = 8
+    cents = kmeans.train_balanced_kmeans(base, n_lists, n_iters=6)
+    assert cents.shape[0] == n_lists
+    sizes = kmeans.assignment_counts(base, cents)
+    n = int(sizes.sum())
+    assert sizes.min() > 0, sizes  # no dead lists
+    assert sizes.max() <= 3 * n / n_lists, sizes  # balanced-ish
+
+    # determinism: same input -> same centroids
+    again = kmeans.train_balanced_kmeans(base, n_lists, n_iters=6)
+    np.testing.assert_array_equal(cents, again)
+
+    queries = (
+        emb_df.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = {}
+    for r in similarity.cosine_topk_exact(base, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qpd = queries.toPandas()
+    approx = {}
+    for r in similarity.ivf_topk(
+        spark, base, qpd, k=10, n_lists=n_lists, n_probe=4, spill=2,
+        centroids=cents,
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb_df):
     queries = (
         emb_df.filter(F.col("vec_id") < 5)
@@ -212,6 +251,24 @@ def test_ivf_recall_vs_bruteforce(spark, emb_df):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_fp16_pack_roundtrip(spark, emb_df):
+    """fp16-packed embeddings survive a parquet roundtrip at half the
+    bytes and ~1e-3 relative error (common.rs:98-108 parity)."""
+    import numpy as np
+
+    base = emb_df.limit(50)
+    packed = similarity.pack_embeddings_fp16(base)
+    row = packed.select("embedding_fp16").first()
+    dim = len(base.select("embedding").first()["embedding"])
+    assert len(row["embedding_fp16"]) == 2 * dim
+    back = similarity.unpack_embeddings_fp16(packed)
+    orig = {r["vec_id"]: r["embedding"] for r in base.collect()}
+    for r in back.collect():
+        a = np.asarray(orig[r["vec_id"]], dtype=np.float32)
+        b = np.asarray(r["embedding"], dtype=np.float32)
+        assert np.allclose(a, b, atol=2e-3, rtol=1e-2), r["vec_id"]
 
 
 # --------------------------------------------------------------- textstats

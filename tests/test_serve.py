@@ -66,6 +66,49 @@ def test_local_searcher_urls(built, spark):
         assert r["url"] == meta[r["doc_id"]]
 
 
+def test_local_searcher_quality_prior_matches_spark_engine(built, spark):
+    """search_quality == bm25_topk_with_prior (same fixed-point prior
+    from the same channels), rank- and score-identical."""
+    import pyspark.sql.functions as F
+
+    from meme_search_engine_spark.gate import quality_prior_fixed
+    from meme_search_engine_spark.index.build import (
+        corpus_stats,
+        docs_from_pages,
+        term_df,
+        term_doc_tf,
+    )
+    from meme_search_engine_spark.query.dataframe_engine import (
+        bm25_topk_with_prior,
+    )
+
+    import os
+
+    index_dir, _ = built
+    searcher = LocalSearcher(index_dir)
+    pages_dir = os.path.join(os.path.dirname(index_dir), f"pages_{N_DOCS}")
+    pages = spark.read.parquet(pages_dir)
+    docs = docs_from_pages(pages)
+    tf = term_doc_tf(docs)
+    stats = corpus_stats(docs)
+    priors = quality_prior_fixed(pages)
+    for qid, text in enumerate(["term0001 term0100", "term0007", "the term0042"]):
+        qdf = spark.createDataFrame(
+            [(qid, text, 10)], "query_id int, text string, k int"
+        )
+        expected = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in bm25_topk_with_prior(
+                tf, term_df(tf), stats, qdf, priors
+            ).collect()
+        ]
+        got = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in searcher.search_quality(text, 10)
+        ]
+        assert got == sorted(expected), text
+
+
 def test_local_searcher_latency(built):
     index_dir, _ = built
     searcher = LocalSearcher(index_dir)
