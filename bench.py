@@ -113,6 +113,32 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(idx2, ignore_errors=True)
+
+        # headline build throughput at >=100k docs: the sf0.1 documents
+        # table (5k docs) is fixed-overhead-dominated (multiple jobs +
+        # ledger commit per build), so docs/sec there under-sells the
+        # engine; this row measures the steady-state regime.  Reported
+        # in extras (not summed into `value`) so the e2e metric stays
+        # comparable across rounds.
+        n_big = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_DOCS", "100000"))
+        big_dir, _ = ensure_corpus(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"),
+            n_big,
+            n_files=32,
+        )
+        big_pages = spark.read.parquet(big_dir)
+        idx3 = tempfile.mkdtemp(prefix="bench_idx_big_")
+        try:
+            t0 = time.time()
+            build_index(
+                spark, big_pages, idx3,
+                IndexConfig(salt_shift=14, n_buckets=64, n_parts=8),
+            )
+            big_sec = time.time() - t0
+            extras["index_build_100k_sec"] = round(big_sec, 3)
+            extras["build_docs_per_sec_100k"] = round(n_big / big_sec, 1)
+        finally:
+            shutil.rmtree(idx3, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()

@@ -142,6 +142,37 @@ def term_df(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term_hash").agg(F.count("*").alias("df"))
 
 
+def corpus_stats_by_part(docs: DataFrame, cfg) -> tuple[dict, dict[int, int]]:
+    """One pass -> (global corpus stats, per-build-partition row counts).
+
+    Folding the ledger's rows_in metric into the stats aggregation
+    removes one whole job from the build's serialized critical path
+    (same derivation contract as corpus_stats: avgdl = exact-int
+    total / N, so cold and appended builds stay bit-identical)."""
+    from .postings import part_col
+
+    rows = (
+        docs.groupBy(part_col(F.col("doc_id"), cfg).alias("part_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("tok"),
+            F.max("doc_id").alias("mx"),
+            F.min("doc_id").alias("mn"),
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    total = int(sum(r["tok"] or 0 for r in rows))
+    stats = {
+        "N": n,
+        "avgdl": (total / n) if n else 0.0,
+        "total_tokens": total,
+        "max_doc_id": max((r["mx"] for r in rows), default=None),
+        "min_doc_id": min((r["mn"] for r in rows), default=None),
+    }
+    return stats, {int(r["part_id"]): int(r["n"]) for r in rows}
+
+
 def corpus_stats(docs: DataFrame) -> dict:
     """Global stats — one tiny agg, broadcast to scorers.
 

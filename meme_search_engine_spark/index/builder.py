@@ -33,7 +33,7 @@ from dataclasses import asdict
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .build import corpus_stats, docs_from_pages
+from .build import corpus_stats_by_part, docs_from_pages
 from .postings import (
     IndexConfig,
     build_partials_from_docs,
@@ -121,6 +121,7 @@ def _write_partials_and_ledger(
     snapshot: str,
     batch: list[int],
     epoch: int,
+    rows_in_all: dict[int, int] | None = None,
 ) -> None:
     """One checkpoint batch: write stage-1 partials for `batch` parts
     under partials/epoch=E/ (dynamic partition overwrite -> idempotent
@@ -146,12 +147,18 @@ def _write_partials_and_ledger(
         )
         .collect()
     }
-    rows_in = {
-        r["part_id"]: r["n"]
-        for r in docs_b.groupBy(part_col(F.col("doc_id"), cfg).alias("part_id"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    if rows_in_all is not None:
+        # precomputed in the stats pass — no extra job on the critical path
+        rows_in = {p: rows_in_all.get(p, 0) for p in batch}
+    else:
+        rows_in = {
+            r["part_id"]: r["n"]
+            for r in docs_b.groupBy(
+                part_col(F.col("doc_id"), cfg).alias("part_id")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     ledger_rows = [
         (
             epoch,
@@ -219,8 +226,9 @@ def build_index(
     if cache_docs:
         docs = docs.persist()
 
-    # ---- pass 0: corpus stats (skipped on resume) --------------------
+    # ---- pass 0: corpus stats + per-part rows (skipped on resume) ----
     stats_path = os.path.join(out_dir, "stats.json")
+    rows_in_all: dict[int, int] | None = None
     if os.path.exists(stats_path):
         with open(stats_path) as fh:
             stats = json.load(fh)
@@ -230,7 +238,7 @@ def build_index(
                 f"{stats.get('input_snapshot')}, input is {snapshot}"
             )
     else:
-        stats = corpus_stats(docs)
+        stats, rows_in_all = corpus_stats_by_part(docs, cfg)
         stats["input_snapshot"] = snapshot
         with open(stats_path, "w") as fh:
             json.dump(stats, fh)
@@ -249,7 +257,8 @@ def build_index(
         # the uncached path this prunes the SCAN to the batch's slice
         docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
         _write_partials_and_ledger(
-            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, batch, epoch=0
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, batch,
+            epoch=0, rows_in_all=rows_in_all,
         )
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
@@ -380,12 +389,12 @@ def append_to_index(
         cache_docs = size is not None and size <= CACHE_DOCS_MAX_BYTES
     if cache_docs:
         docs = docs.persist()
-    new_stats = corpus_stats(docs)
+    new_stats, rows_in_all = corpus_stats_by_part(docs, cfg)
     if new_stats["N"] == 0:
         return manifest
     old_max = old.get("max_doc_id")
     if old_max is not None and new_stats["max_doc_id"] is not None:
-        new_min = docs.agg(F.min("doc_id")).collect()[0][0]
+        new_min = new_stats["min_doc_id"]  # from the same stats pass
         if new_min <= old_max:
             raise ValueError(
                 f"append contract violated: new min doc_id {new_min} <= "
@@ -418,7 +427,8 @@ def append_to_index(
     if pending:
         docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(pending))
         _write_partials_and_ledger(
-            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending, epoch
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending,
+            epoch, rows_in_all=rows_in_all,
         )
     _write_docmeta(docs, out_dir, epoch)
     if cache_docs:
