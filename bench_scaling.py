@@ -36,8 +36,13 @@ def worker(cpus: int, pages_dir: str, queries_path: str) -> None:
     from meme_search_engine_spark.index.postings import IndexConfig
     from meme_search_engine_spark.query.wand import wand_topk
 
+    # 4 shuffle partitions per core: under bursty hypervisor steal a
+    # 1-wave shuffle (partitions == cores) stalls on every straggler;
+    # smaller tasks let the scheduler route around slow threads
     spark = get_spark(
-        app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8)
+        app_name=f"scaling-{cpus}",
+        cores=cpus,
+        shuffle_partitions=max(4 * cpus, 8),
     )
     pages = spark.read.parquet(pages_dir)
     n_docs = pages.count()  # warms the scan too

@@ -141,9 +141,7 @@ def _write_partials_and_ledger(
         .agg(
             F.sum("n_docs").alias("postings_out"),
             F.count_distinct("term_hash").alias("terms_out"),
-            F.sum(
-                F.length("doc_ids") + F.length("tfs") + F.length("dls")
-            ).alias("bytes_out"),
+            F.sum("bytes").alias("bytes_out"),
         )
         .collect()
     }

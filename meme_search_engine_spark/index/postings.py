@@ -55,13 +55,14 @@ class IndexConfig:
 PARTIALS_SCHEMA = (
     "part_id int, term_hash long, salt long, block_seq int, n_docs int, "
     "min_doc_id long, max_doc_id long, doc_ids binary, tfs binary, "
-    "dls binary, block_max_tfnorm double, max_tf int, min_dl int"
+    "dls binary, block_max_tfnorm double, max_tf int, min_dl int, "
+    "bytes int"
 )
 
 SEGMENTS_COLUMNS = [
     "term_hash", "bucket", "block_id", "n_blocks", "df", "n_docs",
     "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
-    "block_max_tfnorm", "max_tf", "min_dl",
+    "block_max_tfnorm", "max_tf", "min_dl", "bytes",
 ]
 
 
@@ -165,6 +166,14 @@ def _encode_sorted_run(
             "block_max_tfnorm": block_max,
             "max_tf": block_max_tf.astype(np.int32),
             "min_dl": block_min_dl.astype(np.int32),
+            # stored compressed size: downstream metrics/term_stats
+            # aggregate THIS int column instead of re-scanning the
+            # binary payloads just to take their lengths
+            "bytes": np.fromiter(
+                (len(a) + len(b) + len(c)
+                 for a, b, c in zip(doc_bytes, tf_bytes, dl_bytes)),
+                dtype=np.int32, count=len(doc_bytes),
+            ),
         }
     )
 
@@ -280,9 +289,8 @@ def term_stats_from_segments(segments: DataFrame) -> DataFrame:
         F.first("df").alias("df"),
         F.first("n_blocks").alias("n_blocks"),
         F.max("block_max_tfnorm").alias("max_block_max"),
-        F.sum(
-            F.length("doc_ids") + F.length("tfs") + F.length("dls")
-        ).alias("bytes"),
+        F.sum("bytes").alias("bytes"),  # int column: the scan never
+        # touches the binary payloads (column pruning)
     )
 
 

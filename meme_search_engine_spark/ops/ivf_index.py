@@ -1,0 +1,130 @@
+"""Persistent IVF index over an embedding table — the ANN analogue of
+the posting-segment index.
+
+The reference persists a sharded DiskANN index and routes queries to
+shards (/root/reference/src/dump_processor.rs:428-461 build,
+query_disk_index.rs:447-450 probe routing).  Spark-first equivalent:
+
+- build: train balanced k-means centroids (ops/kmeans), assign every
+  vector to its top-`spill` lists (GEMM per Arrow batch), write the
+  lists as parquet PARTITIONED BY list_id — probing N of K lists then
+  reads exactly N/K of the data via partition pruning, no index-side
+  shuffle at query time;
+- query: nearest `n_probe` centroids per query computed driver-side
+  from the (tiny) centroid matrix, probed lists read with a partition
+  filter, scored with the same JVM cosine expressions as the
+  brute-force gate, per-query window top-k;
+- the centroid matrix + config live in ivf_manifest.json (atomic
+  write, like the text index manifest).
+
+Layout:
+    ivf_manifest.json        {n_lists, spill, dim, centroids}
+    lists/list_id=*/         (vec_id, embedding) parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .similarity import _dot, ivf_assign
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_lists: int = 64,
+    spill: int = 1,
+    n_iters: int = 8,
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Train (balanced k-means) + assign + write.  Returns the manifest.
+
+    spill > 1 multi-assigns each vector to its nearest `spill` lists
+    (the reference's SHARD_SPILL=2) — recall insurance at the cost of
+    spill x storage."""
+    from .kmeans import train_balanced_kmeans
+
+    os.makedirs(out_dir, exist_ok=True)
+    if centroids is None:
+        centroids = train_balanced_kmeans(embeddings, n_lists, n_iters)
+    assigned = ivf_assign(embeddings, centroids, spill)
+    (
+        assigned.repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "lists"))
+    )
+    manifest = {
+        "format_version": 1,
+        "n_lists": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "spill": int(spill),
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    tmp = os.path.join(out_dir, "ivf_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, "ivf_manifest.json"))
+    return manifest
+
+
+def load_ivf_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "ivf_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def ivf_search(
+    spark: SparkSession,
+    out_dir: str,
+    queries_pd: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Top-k cosine over the persisted lists, probing only each query's
+    n_probe nearest lists.  The list filter is a PARTITION filter on
+    the parquet layout — the scan reads ~n_probe/n_lists of the data
+    (the `.explain` shows PartitionFilters: list_id IN (...))."""
+    manifest = load_ivf_manifest(out_dir)
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :n_probe]
+
+    probe_rows = [
+        (int(queries_pd["query_id"].iloc[i]), [float(x) for x in qm[i]], int(l))
+        for i in range(len(queries_pd))
+        for l in probe[i]
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<float>, list_id int"
+    )
+    wanted = sorted({int(l) for row in probe for l in row})
+    lists = spark.read.parquet(os.path.join(out_dir, "lists")).filter(
+        F.col("list_id").isin(wanted)  # partition pruning
+    )
+    cand = lists.join(F.broadcast(probe_df), "list_id")
+    scored = cand.withColumn(
+        "cosine",
+        _dot("embedding", "qvec")
+        / (
+            F.sqrt(_dot("embedding", "embedding"))
+            * F.sqrt(_dot("qvec", "qvec"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -57,6 +57,123 @@ def dedup_within_watermark_stream(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n int"
+
+
+def sessionize_stateful_stream(
+    stream: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    sessionization that emits CLOSED sessions (gap > gap_sec) as they
+    become known and keeps the open session in state until the event-
+    time watermark times it out (the adaptive-poll-interval shape of
+    /root/reference/crawler.py:23-57 as a streaming operator).
+
+    State per user: (session_start_us, last_event_us, n_events).
+    Semantics pytest-verified against the batch sessionizer: streamed
+    closed sessions == batch sessions minus each user's final (still
+    open or timeout-flushed) session when the input arrives in one
+    micro-batch."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_sec) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        us = (ts.astype("int64") // 1000).to_numpy()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = int(us[0])
+            n = 0  # events are counted in the loop below
+        out = []
+        for u in us:
+            u = int(u)
+            if n and u - last_us > gap_us:
+                out.append((start_us, last_us, n))
+                start_us, n = u, 0
+            n += 1
+            last_us = u
+        state.update((start_us, last_us, n))
+        # Spark requires the timeout to sit ABOVE the current watermark
+        # (a user idle longer than the watermark delay flushes on the
+        # very next batch)
+        timeout_ms = max(
+            last_us // 1000 + gap_us // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in out
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in out
+                    ],
+                    "n_events": [c for _, _, c in out],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Batch twin of sessionize_stateful_stream: every session
+    (including each user's final one)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_prev", F.lag("ts").over(w))
+    gap = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > gap_sec * 1_000_000), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("_sess", sess)
+        .groupBy("user_id", "_sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        .drop("_sess")
+    )
+
+
 def incremental_tf_update(
     spark: SparkSession,
     pages_stream: DataFrame,

@@ -253,6 +253,48 @@ def test_ivf_recall_vs_bruteforce(spark, emb_df):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_persistent_ivf_index_partition_pruned_search(spark, emb_df, tmp_path):
+    """build_ivf_index + ivf_search: recall vs brute force, and the
+    probed scan must be partition-pruned to the probed lists."""
+    import io
+    from contextlib import redirect_stdout
+
+    from meme_search_engine_spark.ops import ivf_index
+
+    base = emb_df.filter(F.col("vec_id") >= 5)
+    out = str(tmp_path / "ivf")
+    manifest = ivf_index.build_ivf_index(
+        spark, base, out, n_lists=8, spill=2, n_iters=4
+    )
+    assert manifest["n_lists"] == 8
+
+    queries = (
+        emb_df.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    qpd = queries.toPandas()
+    res = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4)
+
+    # partition pruning: the lists scan must carry a PartitionFilters
+    # entry on list_id (reads ~n_probe/n_lists of the data)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+    exact = {}
+    for r in similarity.cosine_topk_exact(base, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in res.collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_fp16_pack_roundtrip(spark, emb_df):
     """fp16-packed embeddings survive a parquet roundtrip at half the
     bytes and ~1e-3 relative error (common.rs:98-108 parity)."""

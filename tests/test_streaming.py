@@ -88,6 +88,52 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["key"] for r in got) == [1, 2]
 
 
+def test_stateful_sessionization_stream_vs_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted session is a
+    true batch session, and every definitely-closed session (all but
+    each user's final one) is emitted."""
+    from meme_search_engine_spark.streaming import (
+        sessionize_batch,
+        sessionize_stateful_stream,
+    )
+
+    stream = sessionize_stateful_stream(
+        _read_stream(spark, events_dir), gap_sec=1800, watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = sessionize_batch(
+        spark.read.parquet(events_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withColumn("event_id", F.col("event_id")),
+        gap_sec=1800,
+    )
+    all_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # each user's final session may legitimately still be open in state
+    finals = {}
+    for s in all_sessions:
+        if s[0] not in finals or s[2] > finals[s[0]][2]:
+            finals[s[0]] = s
+    definitely_closed = all_sessions - set(finals.values())
+    assert got <= all_sessions, (got - all_sessions)
+    assert definitely_closed <= got, (definitely_closed - got)
+    assert len(got) > 0
+
+
 def test_incremental_tf_update_equals_batch(spark, tmp_path):
     """foreachBatch incremental tf maintenance: streamed state equals
     the batch tf of the same pages."""
