@@ -1,9 +1,10 @@
 """Gate entries for the training-data-pipeline operators (dedup,
 similarity search, text analysis) over documents/embeddings.
 
-Hash-free ops get full DuckDB oracles; xxhash64-based ops (MinHash/LSH,
-SimHash) have no SQL twin, so they ship as rows-only entries here plus
-pure-Python equivalence tests in tests/test_ops_*.py.
+Every entry has a full DuckDB oracle: hash-heavy ops use md5 (present
+in both engines, bit-identical) as the gate hash strategy — the
+xxhash64 production strategies share every plan shape and are
+equivalence/recall-tested in tests/test_ops.py.
 """
 
 from __future__ import annotations
@@ -90,6 +91,40 @@ def ann_cosine_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 3), queries, k=10
     )
     return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+_IVF_IDX_CACHE: dict[str, str] = {}
+
+
+def ann_ivf_index_topk(spark, sf_dir):
+    """Persistent IVF index path: build lists partitioned on disk
+    (ops/ivf_index), probe via partition-pruned scan.  Same
+    deterministic-centroid config as ann_ivf_topk, so the same SQL
+    oracle replays it end-to-end; the production path trains balanced
+    k-means instead (pytest-verified recall + balance)."""
+    import tempfile
+
+    from .ops import ivf_index
+    from .ops.similarity import deterministic_centroids
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") >= 3)
+    if sf_dir not in _IVF_IDX_CACHE:
+        out = tempfile.mkdtemp(prefix="gate_ivf_")
+        cents = deterministic_centroids(base, 8)
+        ivf_index.build_ivf_index(spark, base, out, spill=1, centroids=cents)
+        _IVF_IDX_CACHE[sf_dir] = out
+    qpd = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    res = ivf_index.ivf_search(
+        spark, _IVF_IDX_CACHE[sf_dir], qpd, k=10, n_probe=3
+    )
+    return res.select(
         "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -286,6 +321,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_candidates": _SQL_MINHASH,
     "dd_simhash_pairs": _SQL_SIMHASH,
     "ann_ivf_topk": _SQL_IVF,
+    "ann_ivf_index_topk": _SQL_IVF,
     "dd_exact_groups": """
         SELECT md5(text) AS fingerprint, count(*) AS n_dups,
                min(doc_id) AS keep_doc_id
@@ -384,6 +420,7 @@ _FNS = {
     "dd_simhash_pairs": dd_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_index_topk": ann_ivf_index_topk,
     "u2_array_except": u2_array_except,
     "ts_quality_scores": ts_quality_scores,
     "ts_lang_id": ts_lang_id,

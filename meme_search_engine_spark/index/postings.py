@@ -78,6 +78,16 @@ def part_col(doc_id_col, cfg: IndexConfig):
     return F.pmod(salt_col(doc_id_col, cfg), F.lit(cfg.n_parts)).cast("int")
 
 
+def _salt_part_from_udoc(ud: np.ndarray, cfg: IndexConfig):
+    """(salt, part_id) recomputed from unsigned doc ids — the shuffle
+    never carries them (they're pure functions of doc_id; dropping
+    them + _udoc halves the bytes of the build's one big shuffle).
+    Bit-identical to the JVM salt_col/part_col expressions."""
+    salt = (ud >> np.uint64(cfg.salt_shift)).astype(np.int64)
+    part_id = salt % np.int64(cfg.n_parts)  # numpy % == pmod for n>0
+    return salt, part_id
+
+
 def _encode_sorted_run(
     pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig
 ) -> pd.DataFrame:
@@ -90,9 +100,8 @@ def _encode_sorted_run(
     ~1 ms of per-group overhead each.)"""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     th = pdf["term_hash"].to_numpy(np.int64)
-    salt = pdf["salt"].to_numpy(np.int64)
-    part_id = pdf["part_id"].to_numpy(np.int64)
     ud = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    salt, part_id = _salt_part_from_udoc(ud, cfg)
     dls = pdf["doc_len"].to_numpy(np.int64)
     raw_tf = (
         pdf["tf"].to_numpy(np.int64)
@@ -192,7 +201,8 @@ def _make_partials_kernel(avgdl: float, cfg: IndexConfig):
             if not len(pdf):
                 continue
             th = pdf["term_hash"].to_numpy()
-            salt = pdf["salt"].to_numpy()
+            ud = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            salt, _ = _salt_part_from_udoc(ud, cfg)
             tail = (th == th[-1]) & (salt == salt[-1])
             nz = np.flatnonzero(~tail)
             cut = int(nz[-1] + 1) if nz.size else 0
@@ -216,15 +226,16 @@ def build_partials(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
     The ONE big shuffle of the build: hash-repartition by (term_hash,
     salt) + partition-local sort, then a batch-vectorized mapInPandas
     encoder.  Skew-bounded per the module docstring; per-group Python
-    overhead avoided entirely (see _encode_sorted_run)."""
-    salted = (
-        tf.withColumn("salt", salt_col(F.col("doc_id"), cfg))
-        .withColumn("part_id", part_col(F.col("doc_id"), cfg))
-        .withColumn("_udoc", _udoc_col())
-    )
+    overhead avoided entirely (see _encode_sorted_run).
+
+    salt/part_id/_udoc are passed as EXPRESSIONS to repartition/sort,
+    never materialized into the shuffled rows — they're recomputed from
+    doc_id inside the kernel, halving the shuffle payload."""
+    salt = salt_col(F.col("doc_id"), cfg)
     return (
-        salted.repartition("term_hash", "salt")
-        .sortWithinPartitions("term_hash", "salt", "_udoc")
+        tf.select("term_hash", "doc_id", "doc_len", "tf")
+        .repartition(F.col("term_hash"), salt)
+        .sortWithinPartitions(F.col("term_hash"), salt, _udoc_col())
         .mapInPandas(_make_partials_kernel(avgdl, cfg), PARTIALS_SCHEMA)
     )
 
@@ -239,7 +250,11 @@ def build_partials_from_docs(
     This skips the per-(doc,term) groupBy a textbook build would do —
     at web scale that groupBy is a full extra shuffle of ~the token
     stream for a ~8% row reduction (tf is 1 for most (term,doc) pairs).
-    """
+
+    The shuffled rows are exactly (term_hash, doc_id, doc_len) — 24
+    bytes of payload per posting; salt/part/udoc are repartition/sort
+    EXPRESSIONS recomputed in the kernel."""
+    salt = salt_col(F.col("doc_id"), cfg)
     tok = docs.select(
         "doc_id",
         "doc_len",
@@ -248,13 +263,10 @@ def build_partials_from_docs(
         F.xxhash64("term").alias("term_hash"),
         "doc_id",
         "doc_len",
-        salt_col(F.col("doc_id"), cfg).alias("salt"),
-        part_col(F.col("doc_id"), cfg).alias("part_id"),
-        _udoc_col().alias("_udoc"),
     )
     return (
-        tok.repartition("term_hash", "salt")
-        .sortWithinPartitions("term_hash", "salt", "_udoc")
+        tok.repartition(F.col("term_hash"), salt)
+        .sortWithinPartitions(F.col("term_hash"), salt, _udoc_col())
         .mapInPandas(_make_partials_kernel(avgdl, cfg), PARTIALS_SCHEMA)
     )
 
