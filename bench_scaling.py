@@ -108,7 +108,7 @@ def main() -> None:
     print(f"materializing corpus ({args.docs} docs)...", file=sys.stderr)
     pages_dir, queries_path = ensure_corpus(base, args.docs, n_files=32)
 
-    def run_level(cpus: int) -> dict:
+    def run_level(cpus: int, _retries: int = 1) -> dict:
         print(f"running build+query at local[{cpus}]...", file=sys.stderr)
         proc = subprocess.run(
             [
@@ -124,6 +124,9 @@ def main() -> None:
         if not line:
             print(proc.stdout[-3000:], file=sys.stderr)
             print(proc.stderr[-3000:], file=sys.stderr)
+            if _retries > 0:  # transient worker deaths happen on this VM
+                print(f"retrying local[{cpus}]...", file=sys.stderr)
+                return run_level(cpus, _retries - 1)
             raise RuntimeError(f"worker local[{cpus}] failed")
         return json.loads(line[0][len("WORKER_RESULT "):])
 

@@ -253,6 +253,45 @@ def test_ivf_recall_vs_bruteforce(spark, emb_df):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_embedding_near_dup_exact_and_bucketed(spark):
+    """Planted near-dup vectors: the exact path finds them all; the
+    IVF-bucketed scale path keeps >=90% of the exact pairs without the
+    all-pairs join."""
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = []
+    vid = 0
+    planted = []
+    for c in range(6):  # 6 well-separated clusters
+        center = rng.randn(dim) * 5
+        for i in range(20):
+            rows.append((vid, (center + rng.randn(dim) * 2).astype(np.float32)))
+            vid += 1
+        # one near-dup pair per cluster (tiny perturbation)
+        base = center + rng.randn(dim)
+        rows.append((vid, base.astype(np.float32)))
+        rows.append((vid + 1, (base + rng.randn(dim) * 0.01).astype(np.float32)))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.98).collect()
+    }
+    assert set(planted) <= exact
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, threshold=0.98, n_lists=6, spill=2
+        ).collect()
+    }
+    assert bucketed <= exact  # no false pairs (same exact cosine filter)
+    assert len(bucketed & exact) >= 0.9 * len(exact), (len(bucketed), len(exact))
+
+
 def test_persistent_ivf_index_partition_pruned_search(spark, emb_df, tmp_path):
     """build_ivf_index + ivf_search: recall vs brute force, and the
     probed scan must be partition-pruned to the probed lists."""
