@@ -195,6 +195,23 @@ def _input_bytes(pages: DataFrame) -> int | None:
 CACHE_DOCS_MAX_BYTES = 4 << 30
 
 
+def _cache_budget_bytes(spark: SparkSession) -> int:
+    """Cap the docs cache at ~1/6 of the executor heap: tokenized rows
+    inflate several x over their parquet bytes, and a cache that starves
+    the sort's execution memory turns into UNABLE_TO_ACQUIRE_MEMORY
+    mid-build (seen at 1.2M docs on an 8g local heap) — strictly worse
+    than re-tokenizing."""
+    import re
+
+    mem = spark.conf.get("spark.driver.memory", "8g")
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", mem.strip().lower())
+    if not m:
+        return CACHE_DOCS_MAX_BYTES
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    heap = int(m.group(1)) * mult[m.group(2)]
+    return min(CACHE_DOCS_MAX_BYTES, heap // 6)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -220,7 +237,7 @@ def build_index(
     docs = docs_from_pages(pages)
     if cache_docs is None:
         size = _input_bytes(pages)
-        cache_docs = size is not None and size <= CACHE_DOCS_MAX_BYTES
+        cache_docs = size is not None and size <= _cache_budget_bytes(spark)
     if cache_docs:
         docs = docs.persist()
 
@@ -384,7 +401,7 @@ def append_to_index(
     docs = docs_from_pages(new_pages)
     if cache_docs is None:
         size = _input_bytes(new_pages)
-        cache_docs = size is not None and size <= CACHE_DOCS_MAX_BYTES
+        cache_docs = size is not None and size <= _cache_budget_bytes(spark)
     if cache_docs:
         docs = docs.persist()
     new_stats, rows_in_all = corpus_stats_by_part(docs, cfg)

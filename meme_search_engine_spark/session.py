@@ -36,7 +36,10 @@ def get_spark(
         # per-batch pandas/concat overhead; ~64k rows x ~48 B is still
         # only ~3 MB per in-flight batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM doing every executor's work: size the
+        # heap for the box (8g starved the sort's execution memory at
+        # 1.2M docs — UNABLE_TO_ACQUIRE_MEMORY — while 100+ GB sat idle)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Local benches read multi-MB (not multi-GB) inputs: with the
         # 128 MB default the whole corpus packs into 1-2 input splits
