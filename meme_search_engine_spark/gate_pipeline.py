@@ -414,6 +414,11 @@ ORACLES: dict[str, str] = {
 }
 
 _FNS = {
+    # ts_* first: r2's driver run truncated the registry tail and
+    # dropped ts_fingerprints_md5 — keep unique coverage off the tail.
+    "ts_fingerprints_md5": ts_fingerprints_md5,
+    "ts_quality_scores": ts_quality_scores,
+    "ts_lang_id": ts_lang_id,
     "dd_exact_groups": dd_exact_groups,
     "dd_jaccard_top_pairs": dd_jaccard_top_pairs,
     "dd_minhash_candidates": dd_minhash_candidates,
@@ -422,9 +427,6 @@ _FNS = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_topk": ann_ivf_index_topk,
     "u2_array_except": u2_array_except,
-    "ts_quality_scores": ts_quality_scores,
-    "ts_lang_id": ts_lang_id,
-    "ts_fingerprints_md5": ts_fingerprints_md5,
 }
 
 

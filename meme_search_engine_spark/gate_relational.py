@@ -434,8 +434,8 @@ def st_sessionization(spark, sf_dir):
         ev.withColumn("session_id", sess)
         .groupBy("user_id")
         .agg(
-            F.max("session_id").alias("n_sessions"),
-            F.count("*").alias("n_events"),
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
         )
     )
 
@@ -644,7 +644,8 @@ ORACLES: dict[str, str] = {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM g
         )
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id
     """,
 }

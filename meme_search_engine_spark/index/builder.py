@@ -284,7 +284,8 @@ def build_index(
         docs.unpersist()
 
     # ---- stage 2: concat-merge finalize ------------------------------
-    return _finalize(spark, out_dir, cfg, stats, snapshot)
+    _finalize_epoch(spark, out_dir, cfg, epoch=0)
+    return _write_manifest(out_dir, cfg, stats, snapshot)
 
 
 def _write_docmeta(docs: DataFrame, out_dir: str, epoch: int) -> None:
@@ -318,27 +319,51 @@ def _write_docmeta(docs: DataFrame, out_dir: str, epoch: int) -> None:
     )
 
 
-def _finalize(
-    spark: SparkSession, out_dir: str, cfg: IndexConfig, stats: dict, snapshot: str
-) -> dict:
-    """Merge ALL partial epochs into final segments + term_stats +
-    manifest.  Rerunnable (full overwrite of derived dirs) — the atomic
-    'index swap' of the reference's online reindex (main.rs:1016)."""
-    partials = spark.read.parquet(os.path.join(out_dir, "partials"))
+def _finalize_epoch(
+    spark: SparkSession, out_dir: str, cfg: IndexConfig, epoch: int
+) -> None:
+    """Finalize ONE epoch: partials/epoch=E -> segments/epoch=E +
+    term_stats/epoch=E.  Append cost is therefore ∝ the DELTA, never
+    the index (the r02 full-rewrite was the one genuine 100-TB
+    blocker): previous epochs' files are untouched, and the read side
+    merges epochs for free because blocks of a term are doc-range
+    disjoint ACROSS epochs too (append contract: doc_ids strictly
+    increase), so the WAND kernel's unsigned-min_doc sort consumes
+    multi-epoch blocks as-is.  Within an epoch, block_id / df /
+    n_blocks are epoch-local; global df = sum(n_docs) over a term's
+    blocks (each doc appears in exactly one block of one epoch), fixed
+    up by the readers.  Rerunnable (overwrite of this epoch's dirs
+    only) — the reference swaps in only new state on reindex
+    (main.rs:1005-1035)."""
+    partials = spark.read.parquet(
+        os.path.join(out_dir, "partials", f"epoch={epoch}")
+    )
     segments = finalize_segments(partials, cfg)
-    segments_dir = os.path.join(out_dir, "segments")
+    seg_dir = os.path.join(out_dir, "segments", f"epoch={epoch}")
     (
+        # term_hash-sorted within each bucket file: parquet row-group
+        # min/max stats on term_hash become tight, so both the Spark
+        # scan's PushedFilters and the pyarrow serving path skip
+        # whole row groups per query instead of decoding the bucket
         segments.repartition("bucket")
+        .sortWithinPartitions("term_hash", "block_id")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(segments_dir)
+        .parquet(seg_dir)
     )
-    seg = spark.read.parquet(segments_dir)
+    seg = spark.read.parquet(seg_dir)
     term_stats_from_segments(seg).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "term_stats")
+        os.path.join(out_dir, "term_stats", f"epoch={epoch}")
     )
+
+
+def _write_manifest(
+    out_dir: str, cfg: IndexConfig, stats: dict, snapshot: str
+) -> dict:
+    """manifest.json is the COMMIT MARKER: written last, after every
+    derived dir (segments/term_stats/stats.json) is consistent."""
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "config": asdict(cfg),
         "stats": stats,
         "input_snapshot": snapshot,
@@ -346,6 +371,59 @@ def _finalize(
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def index_epochs(out_dir: str) -> list[int]:
+    """Sorted epoch ids present under segments/."""
+    seg_dir = os.path.join(out_dir, "segments")
+    if not os.path.isdir(seg_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(seg_dir)
+        if d.startswith("epoch=")
+    )
+
+
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Explicit maintenance op: merge ALL epochs back into a single
+    epoch 0 (full rewrite — the cost appends no longer pay).  Restores
+    globally-dense block_id / exact stored df; queries are identical
+    before and after (pytest).  Swap is rename-atomic per dir."""
+    import shutil
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cfg = IndexConfig(**manifest["config"])
+    epochs = index_epochs(out_dir)
+    if len(epochs) <= 1:
+        return manifest
+    partials = spark.read.parquet(os.path.join(out_dir, "partials"))
+    segments = finalize_segments(partials.drop("epoch"), cfg)
+    seg_tmp = os.path.join(out_dir, "segments.tmp")
+    ts_tmp = os.path.join(out_dir, "term_stats.tmp")
+    for p in (seg_tmp, ts_tmp):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    (
+        segments.repartition("bucket")
+        .sortWithinPartitions("term_hash", "block_id")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(seg_tmp, "epoch=0"))
+    )
+    term_stats_from_segments(
+        spark.read.parquet(os.path.join(seg_tmp, "epoch=0"))
+    ).write.mode("overwrite").parquet(os.path.join(ts_tmp, "epoch=0"))
+    for name, tmp in (("segments", seg_tmp), ("term_stats", ts_tmp)):
+        final = os.path.join(out_dir, name)
+        old = os.path.join(out_dir, f"{name}.old")
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old)
+    # partials stay as-is: the union of ALL partial epochs remains the
+    # durable source for any future compaction (ledger keys unchanged)
     return manifest
 
 
@@ -379,6 +457,12 @@ def append_to_index(
     old = manifest["stats"]
 
     snapshot = input_snapshot(new_pages)
+    if snapshot in old.get("appended_snapshots", []):
+        # the manifest is written LAST: its appended_snapshots listing
+        # this snapshot means the append fully committed — an
+        # orchestrator retry of a succeeded append is a no-op, not an
+        # "append contract violated" dead end (ADVICE r02).
+        return manifest
     led = read_ledger(spark, out_dir)
     epoch = 0
     if led is not None:
@@ -451,15 +535,35 @@ def append_to_index(
     if fail_before_finalize:
         raise InjectedFailure("injected append failure before finalize")
 
+    # delta-cost finalize: ONLY the new epoch's dirs are written; then
+    # stats.json, then the manifest commit marker (a crash anywhere in
+    # this tail leaves every prior epoch intact and the retry path
+    # above/idempotent overwrites converge)
+    _finalize_epoch(spark, out_dir, cfg, epoch)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh)
-    return _finalize(spark, out_dir, cfg, stats, old.get("input_snapshot"))
+    return _write_manifest(out_dir, cfg, stats, old.get("input_snapshot"))
 
 
 def load_index(spark: SparkSession, out_dir: str):
-    """-> (segments_df, term_stats_df, manifest)."""
+    """-> (segments_df, term_stats_df, manifest).
+
+    segments span epoch=*/bucket=* hive partitions; manifest carries
+    n_epochs so query planners know whether stored per-block df is
+    already global (single epoch) or needs the sum(n_docs) fixup
+    (multi-epoch — see _finalize_epoch).  term_stats is aggregated to
+    global per-term stats across epochs (df/n_blocks/bytes additive,
+    bound is a max) — lazily, only if the caller evaluates it."""
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
+    manifest["n_epochs"] = max(1, len(index_epochs(out_dir)))
     segments = spark.read.parquet(os.path.join(out_dir, "segments"))
     term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    if "epoch" in term_stats.columns:
+        term_stats = term_stats.groupBy("term_hash").agg(
+            F.sum("df").alias("df"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.max("max_block_max").alias("max_block_max"),
+            F.sum("bytes").alias("bytes"),
+        )
     return segments, term_stats, manifest

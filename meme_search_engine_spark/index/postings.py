@@ -309,7 +309,16 @@ def term_stats_from_segments(segments: DataFrame) -> DataFrame:
 def decode_segments_to_postings(segments: DataFrame) -> DataFrame:
     """Segments -> exploded (term_hash, doc_id, tf, doc_len) — the
     decode path used by tests/goldens and the exhaustive scorer-over-
-    index.  mapInPandas, numpy-vectorized decode."""
+    index.  mapInPandas, numpy-vectorized decode.
+
+    df is recomputed as the GLOBAL per-term sum(n_docs): on a
+    multi-epoch (appended) index the stored column is epoch-local; on
+    a single-epoch index the recomputation is identical to the stored
+    value (finalize_segments defines df the same way), so the decoded
+    logical content of an appended index equals a cold build's."""
+    segments = segments.withColumn(
+        "df", F.sum("n_docs").over(Window.partitionBy("term_hash"))
+    )
 
     def decode(batches):
         for pdf in batches:

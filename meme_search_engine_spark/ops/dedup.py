@@ -81,7 +81,7 @@ def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold).
 
@@ -89,9 +89,12 @@ def jaccard_pairs(
     candidate generation; a shuffle on shingle) -> pair intersection
     counts -> sizes join -> |A∩B| / (|A|+|B|-|A∩B|).
 
-    Pass max_shingle_df at scale (see shingles()) — sizes and
+    max_shingle_df DEFAULTS to 256 so the quadratic-safe path is the
+    default path (a df=d shingle makes d^2 join rows; on a Zipf corpus
+    the uncapped self-join is the r01 scale-killer).  Sizes and
     intersections are both computed over the capped shingle space, so
-    the Jaccard stays a true set similarity of that space."""
+    the Jaccard stays a true set similarity of that space; pass None
+    explicitly to force the exact uncapped semantics on small inputs."""
     sh = shingles(docs, n, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.alias("a")
@@ -158,7 +161,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 256,
     hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
@@ -166,8 +169,9 @@ def minhash_lsh_candidates(
     pairs is property-tested in tests/test_ops.py.
 
     Scale shape: bucket-join on (band_id, band key), never all-pairs;
-    pass max_shingle_df to bound within-band blowup from
-    mass-duplicated boilerplate."""
+    max_shingle_df DEFAULTS to 256 (see jaccard_pairs) so within-band
+    blowup from mass-duplicated boilerplate is bounded by default —
+    pass None for the exact uncapped signature on small inputs."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, n, max_shingle_df, hash_strategy)

@@ -30,6 +30,8 @@ import os
 import numpy as np
 import pandas as pd
 
+from ..common.vecmath import l2_normalize
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -95,8 +97,8 @@ def ivf_search(
     manifest = load_ivf_manifest(out_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qn = l2_normalize(qm)
+    cn = l2_normalize(cents)
     probe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :n_probe]
 
     probe_rows = [

@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..common.vecmath import l2_normalize
+
 from pyspark.sql import DataFrame
 
 
@@ -39,7 +41,7 @@ def _partials_kernel(cm_norm: np.ndarray, penalty: np.ndarray):
             if not len(pdf):
                 continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vn = l2_normalize(vm)
             sims = vn @ cm_norm.T - penalty[None, :]
             assign = sims.argmax(axis=1)  # first max -> lowest centroid id
             counts = np.bincount(assign, minlength=k)
@@ -73,7 +75,7 @@ def train_balanced_kmeans(
     from .similarity import deterministic_centroids
 
     cents = deterministic_centroids(embeddings, n_lists)
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = l2_normalize(cents)
     k = cents.shape[0]
     counts = np.zeros(k)
     emb = embeddings.select("embedding").persist()
@@ -85,7 +87,7 @@ def train_balanced_kmeans(
                 if mean_sz > 0
                 else np.zeros(k)
             )
-            cm_norm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            cm_norm = l2_normalize(cents)
             partials = emb.mapInPandas(
                 _partials_kernel(cm_norm, penalty),
                 "list_id int, n long, vsum array<double>",

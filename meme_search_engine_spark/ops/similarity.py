@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..common.vecmath import l2_normalize
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -62,14 +64,14 @@ def cosine_topk_gemm(
     partition emits at most k rows per query."""
     qids = queries_pd["query_id"].to_numpy(np.int64)
     qm = np.stack(queries_pd["qvec"].to_numpy())  # (Q, D)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = l2_normalize(qm)
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = l2_normalize(vm)
             sims = vm @ qm.T  # (B, Q)
             vec_ids = pdf["vec_id"].to_numpy(np.int64)
             kk = min(k, sims.shape[0])
@@ -108,7 +110,20 @@ def pack_embeddings_fp16(
 
     @F.pandas_udf("binary")
     def pack(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: fp16_encode(np.asarray(v, dtype=np.float32)))
+        if not len(s):
+            return pd.Series([], dtype=object)
+        arrs = s.to_numpy()
+        dims = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
+        if (dims == dims[0]).all():
+            # one stack + one astype + one tobytes per BATCH; Python
+            # then only slices the flat buffer (memcpy, no per-row cast)
+            buf = np.stack(arrs).astype("<f2").tobytes()
+            w = int(dims[0]) * 2
+            return pd.Series(
+                [buf[i * w : (i + 1) * w] for i in range(len(arrs))],
+                dtype=object,
+            )
+        return pd.Series([fp16_encode(v) for v in arrs], dtype=object)
 
     return embeddings.withColumn(f"{col}_fp16", pack(F.col(col))).drop(col)
 
@@ -121,7 +136,17 @@ def unpack_embeddings_fp16(
 
     @F.pandas_udf("array<float>")
     def unpack(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: fp16_decode(b).tolist())
+        if not len(s):
+            return pd.Series([], dtype=object)
+        bufs = s.to_numpy()
+        widths = np.fromiter(
+            (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+        )
+        if (widths == widths[0]).all():
+            m = np.frombuffer(b"".join(bufs), dtype="<f2").astype(np.float32)
+            m = m.reshape(len(bufs), widths[0] // 2)
+            return pd.Series(list(m), dtype=object)
+        return pd.Series([fp16_decode(b) for b in bufs], dtype=object)
 
     return df.withColumn(out, unpack(F.col(col))).drop(col)
 
@@ -134,14 +159,14 @@ def ivf_assign(
     """Assign each vector to its top-`spill` nearest centroids (cosine).
     Mirrors the reference's SHARD_SPILL=2 multi-assignment
     (dump_processor.rs:134,452-455)."""
-    cm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cm = l2_normalize(centroids)
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = l2_normalize(vm)
             sims = vm @ cm.T
             # stable: ties break toward the lower list_id, matching the
             # SQL oracle's row_number(ORDER BY cos DESC, list_id)
@@ -200,8 +225,8 @@ def ivf_topk(
     assigned = ivf_assign(embeddings, cents, spill)
 
     qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
-    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    cm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qm_n = l2_normalize(qm)
+    cm = l2_normalize(cents)
     probe = np.argsort(-(qm_n @ cm.T), axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(queries_pd["query_id"].iloc[i]), [float(x) for x in qm[i]], int(l))

@@ -39,23 +39,32 @@ class PresetStore:
     def __init__(self, index_dir: str):
         self._path = os.path.join(index_dir, "presets.json")
         self._presets: dict[str, list] = {}
+        # ThreadingHTTPServer handlers call save()/get() concurrently:
+        # guard the dict and serialize writers so two saves can't
+        # interleave on the same temp file and rename a torn JSON into
+        # place (ADVICE r02)
+        self._lock = threading.Lock()
         if os.path.exists(self._path):
             with open(self._path) as fh:
                 self._presets = json.load(fh)
 
     def names(self) -> list[str]:
-        return sorted(self._presets)
+        with self._lock:
+            return sorted(self._presets)
 
     def get(self, name: str) -> list[tuple[str, float]] | None:
-        terms = self._presets.get(name)
-        return [(str(t), float(w)) for t, w in terms] if terms else None
+        with self._lock:
+            if name not in self._presets:  # empty list != missing
+                return None
+            return [(str(t), float(w)) for t, w in self._presets[name]]
 
     def save(self, name: str, terms: list[tuple[str, float]]) -> None:
-        self._presets[name] = [[t, w] for t, w in terms]
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self._presets, fh, indent=1)
-        os.replace(tmp, self._path)  # atomic swap, like the manifest
+        with self._lock:
+            self._presets[name] = [[t, w] for t, w in terms]
+            tmp = f"{self._path}.{threading.get_ident()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self._presets, fh, indent=1)
+            os.replace(tmp, self._path)  # atomic swap, like the manifest
 
 
 def make_handler(searcher: LocalSearcher, presets: PresetStore):

@@ -27,8 +27,20 @@ from ..common.hashing import term_hash
 from ..common.textproc import tokenize
 from .wand import score_query_blocks
 
+def _partition_value(frag, name: str):
+    """Extract a hive partition value (e.g. bucket=3) from a fragment's
+    partition expression; None when the key is absent."""
+    try:
+        import re
+
+        m = re.search(rf"{name} == (-?\d+)", str(frag.partition_expression))
+        return int(m.group(1)) if m else None
+    except Exception:
+        return None
+
+
 _BLOCK_COLUMNS = [
-    "term_hash", "df", "block_id", "n_docs", "min_doc_id", "max_doc_id",
+    "term_hash", "block_id", "n_docs", "min_doc_id", "max_doc_id",
     "doc_ids", "tfs", "dls", "block_max_tfnorm", "max_tf", "min_dl",
 ]
 
@@ -46,7 +58,40 @@ class LocalSearcher:
             format="parquet",
             partitioning="hive",
         )
+        # memoized partition pruning: walking the dataset's fragment
+        # list and re-evaluating hive partition expressions PER QUERY
+        # grows with index size (the r02 serve_p50 regression at 100k
+        # docs); resolve bucket -> fragments ONCE here.  Fragment
+        # objects cache their parquet footer after first use, so
+        # repeated queries also skip footer re-reads.
+        self._frags_by_bucket: dict[int, list] = {}
+        for frag in self._dataset.get_fragments():
+            bucket = _partition_value(frag, "bucket")
+            if bucket is not None:
+                self._frags_by_bucket.setdefault(int(bucket), []).append(frag)
         self._docmeta_dir = os.path.join(index_dir, "docmeta")
+
+    def _fetch_blocks(self, hashes: list[int]) -> pd.DataFrame | None:
+        """Pruned block read for a query's term hashes: bucket pruning
+        via the memoized fragment map, term_hash row-group/row filter
+        inside each fragment.  df is recomputed as the global per-term
+        sum(n_docs) — exact on any epoch layout (epoch-local stored df
+        is never trusted; see builder._finalize_epoch)."""
+        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
+        filt = pc.field("term_hash").isin(hashes)
+        tables = []
+        for b in buckets:
+            for frag in self._frags_by_bucket.get(b, []):
+                t = frag.to_table(columns=_BLOCK_COLUMNS, filter=filt)
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            return None
+        import pyarrow as pa
+
+        pdf = pa.concat_tables(tables).to_pandas()
+        pdf["df"] = pdf.groupby("term_hash")["n_docs"].transform("sum")
+        return pdf
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url from the docmeta sidecar (row-group filtered
@@ -76,17 +121,9 @@ class LocalSearcher:
         hashes = sorted({term_hash(t) for t in tokenize(text)})
         if not hashes:
             return []
-        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
-        table = self._dataset.to_table(
-            columns=_BLOCK_COLUMNS,
-            filter=(
-                pc.field("bucket").isin(buckets)
-                & pc.field("term_hash").isin(hashes)
-            ),
-        )
-        if table.num_rows == 0:
+        pdf = self._fetch_blocks(hashes)
+        if pdf is None:
             return []
-        pdf = table.to_pandas()
         pdf["query_id"] = 0
         pdf["k"] = k
         out = score_query_blocks(
@@ -155,17 +192,9 @@ class LocalSearcher:
         hashes = sorted({term_hash(t) for t in tokenize(text)})
         if not hashes:
             return []
-        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
-        table = self._dataset.to_table(
-            columns=_BLOCK_COLUMNS,
-            filter=(
-                pc.field("bucket").isin(buckets)
-                & pc.field("term_hash").isin(hashes)
-            ),
-        )
-        if table.num_rows == 0:
+        pdf = self._fetch_blocks(hashes)
+        if pdf is None:
             return []
-        pdf = table.to_pandas()
         k1, b = self.cfg["k1"], self.cfg["b"]
         n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
         acc: dict[int, int] = {}
@@ -221,17 +250,9 @@ class LocalSearcher:
         if not weights:
             return []
         hashes = sorted(weights)
-        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
-        table = self._dataset.to_table(
-            columns=_BLOCK_COLUMNS,
-            filter=(
-                pc.field("bucket").isin(buckets)
-                & pc.field("term_hash").isin(hashes)
-            ),
-        )
-        if table.num_rows == 0:
+        pdf = self._fetch_blocks(hashes)
+        if pdf is None:
             return []
-        pdf = table.to_pandas()
         k1, b = self.cfg["k1"], self.cfg["b"]
         n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
         acc: dict[int, int] = {}

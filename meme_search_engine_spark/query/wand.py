@@ -340,6 +340,15 @@ def plan_candidate_blocks(
     pruned = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term_hash").isin(q_hashes)
     )
+    if manifest.get("n_epochs", 1) > 1:
+        # multi-epoch index: stored per-block df is epoch-local; the
+        # global df of a term is sum(n_docs) over its blocks (ranges
+        # are disjoint within AND across epochs).  The fixup aggregate
+        # scans only the pruned metadata columns (binary payloads are
+        # column-pruned out) and yields ≤ |query terms| rows, joined
+        # back via broadcast — no shuffle of block payloads.
+        gdf = pruned.groupBy("term_hash").agg(F.sum("n_docs").alias("df"))
+        pruned = pruned.drop("df").join(F.broadcast(gdf), "term_hash")
     blocks = pruned.join(F.broadcast(qt), "term_hash").select(
         "query_id", "k", "term_hash", "df", "block_id", "n_docs",
         "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",

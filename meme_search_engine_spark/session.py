@@ -31,6 +31,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes size(tokens)>0 ahead of
+        # the explode in the build hot stage; `tokens` contains the
+        # normalizer pandas UDF, so the inferred filter makes Spark
+        # extract and run the UDF TWICE per document (~75% of build
+        # wall-time is that stage).  The filter saves nothing here
+        # (empty docs are rare), so drop the rule engine-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # sized for the posting-build kernel: bigger batches amortize
         # per-batch pandas/concat overhead; ~64k rows x ~48 B is still

@@ -79,7 +79,10 @@ def sessionize_stateful_stream(
     Semantics pytest-verified against the batch sessionizer: streamed
     closed sessions == batch sessions minus each user's final (still
     open or timeout-flushed) session when the input arrives in one
-    micro-batch."""
+    micro-batch.  Cross-batch LATE events (ts <= last seen) never move
+    last_us backwards: inside the open session's span they are counted
+    into it; older than the session start they are dropped — the
+    explicit reorder tolerance of this operator."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -110,6 +113,17 @@ def sessionize_stateful_stream(
         out = []
         for u in us:
             u = int(u)
+            if n and u <= last_us:
+                # cross-micro-batch late event (legal under the
+                # watermark): never move last_us BACKWARDS — a negative
+                # gap would silently merge sessions and diverge from
+                # the batch sessionizer (ADVICE r02).  An event inside
+                # the open session's span is counted into it; one older
+                # than the session start belongs to an already-emitted
+                # session and is dropped (the explicit reorder bound).
+                if u >= start_us:
+                    n += 1
+                continue
             if n and u - last_us > gap_us:
                 out.append((start_us, last_us, n))
                 start_us, n = u, 0

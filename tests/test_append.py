@@ -66,7 +66,9 @@ def test_appended_content_equals_cold_build(spark, dirs):
 
 def test_appended_block_invariants(spark, dirs):
     """Blocks within a term must stay doc-range-disjoint and ordered
-    across the epoch seam."""
+    across the epoch seam.  block_id is epoch-local since the
+    delta-cost finalize, so the merge order (what the WAND kernel
+    actually sorts by) is unsigned min_doc_id."""
     _, incr = dirs
     segments, _, _ = load_index(spark, incr)
     rows = segments.collect()
@@ -74,7 +76,7 @@ def test_appended_block_invariants(spark, dirs):
     for r in rows:
         by_term.setdefault(r["term_hash"], []).append(r)
     for th, blocks in by_term.items():
-        blocks.sort(key=lambda r: r["block_id"])
+        blocks.sort(key=lambda r: r["min_doc_id"] % (1 << 64))
         prev_max = None
         for b in blocks:
             if prev_max is not None:
@@ -109,6 +111,99 @@ def test_append_contract_enforced(spark, dirs, tmp_path):
     pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
     with pytest.raises(ValueError, match="append contract"):
         append_to_index(spark, pages.filter(F.col("doc_id") < 10), incr)
+
+
+def test_append_touches_only_new_epoch_files(spark, dirs, tmp_path):
+    """Delta-cost finalize: appending 100 docs to a 400-doc index must
+    not rewrite epoch 0's segment/term_stats files (VERDICT r02 #4 —
+    at 100 TB an append that rewrites the index is a blocker)."""
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "delta_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+
+    def snap(sub):
+        state = {}
+        for root, _, files in os.walk(os.path.join(out, sub)):
+            for f in files:
+                p = os.path.join(root, f)
+                state[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return state
+
+    seg0 = snap("segments/epoch=0")
+    ts0 = snap("term_stats/epoch=0")
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), out)
+    assert snap("segments/epoch=0") == seg0
+    assert snap("term_stats/epoch=0") == ts0
+    assert os.path.isdir(os.path.join(out, "segments", "epoch=1"))
+    # and the appended index still answers identically to the cold one
+    s_cold, s_new = LocalSearcher(dirs[0]), LocalSearcher(out)
+    for q in generate_queries(N_DOCS)[:10]:
+        a = [(r["rank"], r["doc_id"], r["score_fixed"]) for r in s_cold.search(q["text"], q["k"])]
+        b = [(r["rank"], r["doc_id"], r["score_fixed"]) for r in s_new.search(q["text"], q["k"])]
+        assert a == b, q["text"]
+
+
+def test_retry_of_succeeded_append_is_noop(spark, dirs, tmp_path):
+    """An orchestrator retry of an append that already fully committed
+    (snapshot in manifest.appended_snapshots) returns immediately
+    instead of raising 'append contract violated' (ADVICE r02)."""
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "retry_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+    new = pages.filter(F.col("doc_id") >= SPLIT)
+    m1 = append_to_index(spark, new, out)
+    m2 = append_to_index(spark, new, out)  # retry: no-op, no ValueError
+    assert m2["stats"]["N"] == m1["stats"]["N"]
+    led = read_ledger(spark, out)
+    assert {r["epoch"] for r in led.select("epoch").distinct().collect()} == {0, 1}
+
+
+def test_compaction_preserves_results(spark, dirs, tmp_path):
+    """compact_index merges all epochs into one; queries identical
+    before and after; epoch dirs collapse to epoch=0."""
+    from meme_search_engine_spark.index.builder import (
+        compact_index,
+        index_epochs,
+    )
+
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "compact_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), out)
+    assert index_epochs(out) == [0, 1]
+    queries = generate_queries(N_DOCS)[:20]
+    before = [LocalSearcher(out).search(q["text"], q["k"]) for q in queries]
+    compact_index(spark, out)
+    assert index_epochs(out) == [0]
+    after_s = LocalSearcher(out)
+    after = [after_s.search(q["text"], q["k"]) for q in queries]
+    assert before == after
+    # compacted index == cold-build content (global df restored)
+    assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])
+
+
+def test_wand_identical_on_appended_index(spark, dirs):
+    """The distributed WAND path over a MULTI-EPOCH index (epoch-local
+    stored df, global df via the sum(n_docs) broadcast fixup) returns
+    exactly the cold build's rankings."""
+    from meme_search_engine_spark.query.wand import wand_topk
+
+    cold, incr = dirs
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["text"], q["k"]) for q in generate_queries(N_DOCS)[:25]],
+        "query_id int, text string, k int",
+    )
+
+    def run(d):
+        segments, term_stats, manifest = load_index(spark, d)
+        return sorted(
+            map(tuple, wand_topk(spark, segments, term_stats, manifest, qdf).collect())
+        )
+
+    assert run(incr) == run(cold)
 
 
 def test_append_ledger_has_epochs(spark, dirs):

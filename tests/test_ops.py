@@ -155,6 +155,36 @@ def test_hot_shingle_cap_keeps_near_dup_recall(spark):
     assert inter < inter_uncapped / 10, (inter, inter_uncapped)
 
 
+def test_hot_shingle_cap_is_the_default(spark):
+    """Zipf-skew corpus ABOVE the default cap (boilerplate df=302 >
+    256): with DEFAULT arguments the quadratic boilerplate self-join is
+    pruned and the genuine near-dup pair still surfaces — the safe path
+    is the default path (VERDICT r02 wrong-#4)."""
+    boiler = "all rights reserved contact us for details terms apply"
+    rows = [
+        (i, f"{boiler} unique content number {i} about topic {i * 7} xyz{i}")
+        for i in range(300)
+    ]
+    rows.append((900, f"{boiler} spark engines process huge analytic workloads fast"))
+    rows.append((901, f"{boiler} spark engines process huge analytic workloads quickly"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (900, 901) in pairs
+    assert all(a == 900 for a, b in pairs), sorted(pairs)[:5]
+
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=8).collect()
+    }
+    assert (900, 901) in cands
+    # boilerplate-only docs must not all-pairs-collide under the default
+    assert len(cands) < 300, len(cands)
+
+
 def test_simhash_near_pairs(spark, docs_df):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
