@@ -114,7 +114,13 @@ def ann_ivf_index_topk(spark, sf_dir):
     if sf_dir not in _IVF_IDX_CACHE:
         out = tempfile.mkdtemp(prefix="gate_ivf_")
         cents = deterministic_centroids(base, 8)
-        ivf_index.build_ivf_index(spark, base, out, spill=1, centroids=cents)
+        # storage="fp32": the DuckDB oracle replays exact f32 cosines
+        # (no half type in DuckDB 1.0.0); the production fp16 default
+        # (decode-in-probe, recall, bytes halved) is pytest-covered in
+        # tests/test_ops.py::test_ivf_index_fp16_storage
+        ivf_index.build_ivf_index(
+            spark, base, out, spill=1, centroids=cents, storage="fp32"
+        )
         _IVF_IDX_CACHE[sf_dir] = out
     qpd = (
         emb.filter(F.col("vec_id") < 3)

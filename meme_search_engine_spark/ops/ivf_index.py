@@ -46,18 +46,31 @@ def build_ivf_index(
     spill: int = 1,
     n_iters: int = 8,
     centroids: np.ndarray | None = None,
+    storage: str = "fp16",
 ) -> dict:
     """Train (balanced k-means) + assign + write.  Returns the manifest.
 
     spill > 1 multi-assigns each vector to its nearest `spill` lists
     (the reference's SHARD_SPILL=2) — recall insurance at the cost of
-    spill x storage."""
-    from .kmeans import train_balanced_kmeans
+    spill x storage.
 
+    storage: "fp16" (default — the reference stores half-precision
+    vectors, src/dump_processor.rs:500-524; at 1e9 x 1152 dims the
+    vector column is THE index footprint, so fp16 halves it) packs
+    each list vector to binary and decodes it in the probe;
+    "fp32" keeps array<float> — the bit-exact path the SQL-oracled
+    correctness gate uses (DuckDB has no half type to replay the
+    quantization)."""
+    from .kmeans import train_balanced_kmeans
+    from .similarity import pack_embeddings_fp16
+
+    assert storage in ("fp16", "fp32"), storage
     os.makedirs(out_dir, exist_ok=True)
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_lists, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill)
+    if storage == "fp16":
+        assigned = pack_embeddings_fp16(assigned)
     (
         assigned.repartition("list_id")
         .write.partitionBy("list_id")
@@ -65,10 +78,11 @@ def build_ivf_index(
         .parquet(os.path.join(out_dir, "lists"))
     )
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "n_lists": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
         "spill": int(spill),
+        "storage": storage,
         "centroids": [[float(x) for x in c] for c in centroids],
     }
     tmp = os.path.join(out_dir, "ivf_manifest.json.tmp")
@@ -113,6 +127,12 @@ def ivf_search(
     lists = spark.read.parquet(os.path.join(out_dir, "lists")).filter(
         F.col("list_id").isin(wanted)  # partition pruning
     )
+    if manifest.get("storage") == "fp16":
+        from .similarity import unpack_embeddings_fp16
+
+        # decode-in-probe: only the pruned n_probe/n_lists fraction is
+        # ever dequantized, Arrow-batched (one numpy cast per batch)
+        lists = unpack_embeddings_fp16(lists)
     cand = lists.join(F.broadcast(probe_df), "list_id")
     scored = cand.withColumn(
         "cosine",

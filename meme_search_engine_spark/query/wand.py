@@ -298,6 +298,10 @@ def _seed_thetas(
 # saves — the in-kernel pruning alone is plenty (planner heuristic)
 PRE_PRUNE_MIN_DOCS = 200_000
 
+# query-term batches up to this size are planned driver-side (one tiny
+# job) instead of re-evaluating the tokenizer UDF per downstream use
+_QT_LOCAL_MAX = 200_000
+
 
 def plan_candidate_blocks(
     spark: SparkSession,
@@ -330,10 +334,23 @@ def plan_candidate_blocks(
         n_ranges = int(min(256, max(1, n_docs // 16_384)))
 
     qt = query_terms(queries, default_k)
-    # driver-side pruning plan: buckets + term hashes of the query set
-    # (tiny collect — this is the reference's "pick start shard" step,
-    # query_disk_index.rs:447-450, as partition pruning)
-    q_hashes = [r["term_hash"] for r in qt.select("term_hash").distinct().collect()]
+    # qt embeds the tokenizer pandas UDF and is referenced THREE times
+    # downstream (hash collect, broadcast join, k_df) — each a separate
+    # job re-running the UDF.  For any sane query batch, materialize it
+    # once and rebuild as a local DataFrame; a giant batch (>200k query
+    # terms) falls back to the distributed path.
+    qt_pd = qt.limit(_QT_LOCAL_MAX + 1).toPandas()
+    if len(qt_pd) <= _QT_LOCAL_MAX:
+        qt = spark.createDataFrame(qt_pd, schema=qt.schema)
+        q_hashes = [int(h) for h in qt_pd["term_hash"].unique()]
+    else:
+        # driver-side pruning plan: buckets + term hashes of the query
+        # set (tiny collect — the reference's "pick start shard" step,
+        # query_disk_index.rs:447-450, as partition pruning)
+        q_hashes = [
+            r["term_hash"]
+            for r in qt.select("term_hash").distinct().collect()
+        ]
     if not q_hashes:
         return None, 0, None
     buckets = sorted({h % cfg["n_buckets"] for h in q_hashes})

@@ -364,6 +364,59 @@ def test_persistent_ivf_index_partition_pruned_search(spark, emb_df, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_index_fp16_storage(spark, emb_df, tmp_path):
+    """fp16 is the DEFAULT list storage (the reference stores half
+    precision, dump_processor.rs:500-524): list bytes ~halve vs fp32,
+    the probe decodes in-flight, and top-k vec_id sets match the fp32
+    build on this corpus (fp16 error ~1e-3 << cluster margins)."""
+    from meme_search_engine_spark.ops import ivf_index
+
+    base = emb_df.filter(F.col("vec_id") >= 5)
+    out16 = str(tmp_path / "ivf16")
+    out32 = str(tmp_path / "ivf32")
+    m16 = ivf_index.build_ivf_index(spark, base, out16, n_lists=8, n_iters=2)
+    m32 = ivf_index.build_ivf_index(
+        spark, base, out32, n_lists=8, n_iters=2, storage="fp32"
+    )
+    assert m16["storage"] == "fp16" and m32["storage"] == "fp32"
+
+    import os
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(d, "lists"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    b16, b32 = dir_bytes(out16), dir_bytes(out32)
+    assert b16 < 0.65 * b32, (b16, b32)  # vector column ~halved
+
+    qpd = (
+        emb_df.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    got16 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_index.ivf_search(spark, out16, qpd, k=10, n_probe=4).collect()
+    }
+    got32 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_index.ivf_search(spark, out32, qpd, k=10, n_probe=4).collect()
+    }
+    # same candidates surface; allow rank swaps only between adjacent
+    # near-ties — on this corpus the sets must be identical per query
+    per_q16: dict[int, set] = {}
+    per_q32: dict[int, set] = {}
+    for (q, _), v in got16.items():
+        per_q16.setdefault(q, set()).add(v)
+    for (q, _), v in got32.items():
+        per_q32.setdefault(q, set()).add(v)
+    assert per_q16 == per_q32
+
+
 def test_fp16_pack_roundtrip(spark, emb_df):
     """fp16-packed embeddings survive a parquet roundtrip at half the
     bytes and ~1e-3 relative error (common.rs:98-108 parity)."""
