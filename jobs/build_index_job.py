@@ -57,7 +57,12 @@ def main() -> None:
     from meme_search_engine_spark.index.builder import append_to_index, build_index
     from meme_search_engine_spark.index.postings import IndexConfig
 
-    pages = spark.read.parquet(args.input)
+    # `table:catalog.db.pages[@snapshot]` reads via the session catalog
+    # (Iceberg on a real cluster); a plain path reads parquet — see
+    # meme_search_engine_spark/lake.py for the layout<->Iceberg mapping
+    from meme_search_engine_spark.lake import load_pages
+
+    pages = load_pages(spark, args.input)
     if args.append:
         manifest = append_to_index(spark, pages, args.output)
     else:
