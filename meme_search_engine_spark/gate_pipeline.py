@@ -441,4 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # key order mirrors queries() exactly: whichever dict the driver
+    # iterates, unique-coverage entries stay off the truncatable tail
+    out = {k: ORACLES[k] for k in _FNS if k in ORACLES}
+    out.update({k: v for k, v in ORACLES.items() if k not in out})
+    return out

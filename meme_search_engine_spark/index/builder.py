@@ -265,61 +265,34 @@ def build_index(
         parts_per_batch = max(len(pending), 1)
     partials_dir = os.path.join(out_dir, "partials")
     batches_done = 0
-    # docmeta depends only on `docs`: submit it as a CONCURRENT Spark
-    # job so its wall-clock overlaps the big partials stage instead of
-    # extending the serialized tail (it was ~6% of build time fully
-    # serial at 8 cores — pure Amdahl loss)
-    dm_thread, dm_err = _start_docmeta_thread(docs, out_dir, epoch=0)
-    try:
-        while pending:
-            batch = pending[:parts_per_batch]
-            pending = pending[parts_per_batch:]
-            # doc_id predicate commutes below the tokenize projection,
-            # so on the uncached path this prunes the SCAN to the
-            # batch's slice
-            docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
-            _write_partials_and_ledger(
-                spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, batch,
-                epoch=0, rows_in_all=rows_in_all,
-            )
-            batches_done += 1
-            if (
-                fail_after_batches is not None
-                and batches_done >= fail_after_batches
-            ):
-                raise InjectedFailure(
-                    f"injected failure after {batches_done} batches"
-                )
-    finally:
-        dm_thread.join()
-    if dm_err:
-        raise dm_err[0]
+    while pending:
+        batch = pending[:parts_per_batch]
+        pending = pending[parts_per_batch:]
+        # doc_id predicate commutes below the tokenize projection, so on
+        # the uncached path this prunes the SCAN to the batch's slice
+        docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
+        _write_partials_and_ledger(
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, batch,
+            epoch=0, rows_in_all=rows_in_all,
+        )
+        batches_done += 1
+        if fail_after_batches is not None and batches_done >= fail_after_batches:
+            raise InjectedFailure(f"injected failure after {batches_done} batches")
+
+    # docmeta stays SERIAL, after the partials stage: an A/B at 600k
+    # docs / local[8] showed a concurrent docmeta job competing with
+    # the partials sort for execution memory and HALVING build
+    # throughput (5,108 -> 2,321 docs/s) — the ~6% Amdahl tail it
+    # would hide is not worth a 2x stage regression on a shared-memory
+    # executor.  On a real cluster with separate executors the overlap
+    # may pay; it must be re-measured there, not assumed.
+    _write_docmeta(docs, out_dir, epoch=0)
     if cache_docs:
         docs.unpersist()
 
     # ---- stage 2: concat-merge finalize ------------------------------
     _finalize_epoch(spark, out_dir, cfg, epoch=0)
     return _write_manifest(out_dir, cfg, stats, snapshot)
-
-
-def _start_docmeta_thread(docs: DataFrame, out_dir: str, epoch: int):
-    """Submit the docmeta write as a concurrent Spark job (Spark
-    schedules jobs from multiple driver threads onto free cores).
-    Returns (thread, err_list) — join the thread, then re-raise
-    err_list[0] if set."""
-    import threading
-
-    err: list[Exception] = []
-
-    def run():
-        try:
-            _write_docmeta(docs, out_dir, epoch)
-        except Exception as e:  # surfaced by the caller after join
-            err.append(e)
-
-    t = threading.Thread(target=run, name=f"docmeta-epoch-{epoch}", daemon=True)
-    t.start()
-    return t, err
 
 
 def _write_docmeta(docs: DataFrame, out_dir: str, epoch: int) -> None:
@@ -557,18 +530,13 @@ def append_to_index(
 
     done = completed_parts(spark, out_dir, snapshot, epoch=epoch)
     pending = [p for p in range(cfg.n_parts) if p not in done]
-    dm_thread, dm_err = _start_docmeta_thread(docs, out_dir, epoch)
-    try:
-        if pending:
-            docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(pending))
-            _write_partials_and_ledger(
-                spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending,
-                epoch, rows_in_all=rows_in_all,
-            )
-    finally:
-        dm_thread.join()
-    if dm_err:
-        raise dm_err[0]
+    if pending:
+        docs_b = docs.filter(part_col(F.col("doc_id"), cfg).isin(pending))
+        _write_partials_and_ledger(
+            spark, docs_b, out_dir, cfg, stats["avgdl"], snapshot, pending,
+            epoch, rows_in_all=rows_in_all,
+        )
+    _write_docmeta(docs, out_dir, epoch)  # serial on purpose, see build_index
     if cache_docs:
         docs.unpersist()
     if fail_before_finalize:
