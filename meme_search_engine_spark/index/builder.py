@@ -348,13 +348,12 @@ def _finalize_epoch(
     segments = finalize_segments(partials, cfg)
     seg_dir = os.path.join(out_dir, "segments", f"epoch={epoch}")
     (
-        # term_hash-sorted within each bucket file: parquet row-group
-        # min/max stats on term_hash become tight, so both the Spark
-        # scan's PushedFilters and the pyarrow serving path skip
-        # whole row groups per query instead of decoding the bucket
-        segments.repartition("bucket")
-        .sortWithinPartitions("term_hash", "block_id")
-        .write.partitionBy("bucket")
+        # finalize_segments already bucket-partitioned AND left rows
+        # term_hash-sorted (its window sort), so this write adds no
+        # exchange and parquet row-group min/max stats on term_hash
+        # are tight — both the Spark scan's PushedFilters and the
+        # pyarrow serving path skip whole row groups per query
+        segments.write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(seg_dir)
     )
@@ -414,9 +413,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         if os.path.isdir(p):
             shutil.rmtree(p)
     (
-        segments.repartition("bucket")
-        .sortWithinPartitions("term_hash", "block_id")
-        .write.partitionBy("bucket")
+        segments.write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(os.path.join(seg_tmp, "epoch=0"))
     )

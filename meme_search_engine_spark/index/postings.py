@@ -275,22 +275,30 @@ def finalize_segments(partials: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Partial blocks -> final segments: global per-term block numbering
     and df, WITHOUT decoding (concat-merge of range-disjoint blocks).
 
-    One shuffle on term_hash over compressed block rows (both window
-    functions share the same partitioning -> single exchange).
+    ONE shuffle of the compressed block rows, total: the explicit
+    repartition on `bucket` is the only exchange, because the windows
+    partition by (bucket, term_hash) and HashPartitioning(bucket)
+    satisfies ClusteredDistribution(bucket, term_hash) — bucket is a
+    pure function of term_hash, so the grouping is semantically
+    per-term and Catalyst reuses the exchange (window = sort-only).
+    (Windowing by term_hash alone forced a SECOND full-index exchange
+    after the bucket repartition — measured in the r3 plan audit.)
 
     Blocks are ordered by unsigned min_doc_id (not (salt, block_seq)):
     range-disjointness makes that equivalent for a cold build, and it
     stays correct for incremental appends where a later epoch adds
-    higher-doc-id blocks into the boundary salt."""
-    w = Window.partitionBy("term_hash")
+    higher-doc-id blocks into the boundary salt.  The window's sort
+    also leaves each output partition term_hash-ordered, which is
+    exactly the row-group layout the segment writer wants."""
+    seg = partials.withColumn(
+        "bucket", F.pmod(F.col("term_hash"), F.lit(cfg.n_buckets)).cast("int")
+    ).repartition("bucket")
+    w = Window.partitionBy("bucket", "term_hash")
     w_ord = w.orderBy(F.col("min_doc_id").bitwiseXOR(F.lit(-(2**63))))
     return (
-        partials.withColumn("block_id", F.row_number().over(w_ord) - 1)
+        seg.withColumn("block_id", F.row_number().over(w_ord) - 1)
         .withColumn("df", F.sum("n_docs").over(w))
         .withColumn("n_blocks", F.count("*").over(w))
-        .withColumn(
-            "bucket", F.pmod(F.col("term_hash"), F.lit(cfg.n_buckets)).cast("int")
-        )
         .select(*SEGMENTS_COLUMNS)
     )
 
