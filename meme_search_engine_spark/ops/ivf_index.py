@@ -47,6 +47,9 @@ def build_ivf_index(
     n_iters: int = 8,
     centroids: np.ndarray | None = None,
     storage: str = "fp16",
+    pq_m: int = 8,
+    pq_ksub: int = 256,
+    pq_codebooks: np.ndarray | None = None,
 ) -> dict:
     """Train (balanced k-means) + assign + write.  Returns the manifest.
 
@@ -60,16 +63,26 @@ def build_ivf_index(
     each list vector to binary and decodes it in the probe;
     "fp32" keeps array<float> — the bit-exact path the SQL-oracled
     correctness gate uses (DuckDB has no half type to replay the
-    quantization)."""
+    quantization); "pq" stores m-byte product-quantization codes
+    (ops/pq — the reference's DiskANN shards keep 64-byte PQ codes of
+    1152-dim vectors, diskann/aopq_train.py: at 1e9 vectors that is
+    the difference between a 4.6 TB and a 64 GB index) and the probe
+    scores them via ADC lookup tables, no decode."""
     from .kmeans import train_balanced_kmeans
     from .similarity import pack_embeddings_fp16
 
-    assert storage in ("fp16", "fp32"), storage
+    assert storage in ("fp16", "fp32", "pq"), storage
     os.makedirs(out_dir, exist_ok=True)
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_lists, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill)
-    if storage == "fp16":
+    if storage == "pq":
+        from .pq import pq_encode, train_pq
+
+        if pq_codebooks is None:
+            pq_codebooks = train_pq(embeddings, m=pq_m, ksub=pq_ksub)
+        assigned = pq_encode(assigned, pq_codebooks)
+    elif storage == "fp16":
         assigned = pack_embeddings_fp16(assigned)
     (
         assigned.repartition("list_id")
@@ -85,6 +98,8 @@ def build_ivf_index(
         "storage": storage,
         "centroids": [[float(x) for x in c] for c in centroids],
     }
+    if storage == "pq":
+        manifest["pq_codebooks"] = np.asarray(pq_codebooks).tolist()
     tmp = os.path.join(out_dir, "ivf_manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -127,6 +142,44 @@ def ivf_search(
     lists = spark.read.parquet(os.path.join(out_dir, "lists")).filter(
         F.col("list_id").isin(wanted)  # partition pruning
     )
+    if manifest.get("storage") == "pq":
+        # ADC: no decode at all — each query's (m, ksub) inner-product
+        # lookup table is built once driver-side; scanning a candidate
+        # is m uint8 gathers + a sum (Arrow-batched, vectorized)
+        from .pq import adc_tables, score_codes
+
+        books = np.asarray(manifest["pq_codebooks"], dtype=np.float64)
+        m = books.shape[0]
+        luts = adc_tables(books, qm)
+        qid_arr = queries_pd["query_id"].to_numpy(np.int64)
+        order = np.argsort(qid_arr, kind="stable")
+        sorted_qids, sorted_luts = qid_arr[order], luts[order]
+        probe_df = probe_df.drop("qvec")
+
+        @F.pandas_udf("double")
+        def adc(code: pd.Series, qid: pd.Series) -> pd.Series:
+            if not len(code):
+                return pd.Series([], dtype=np.float64)
+            codes = np.frombuffer(
+                b"".join(code.to_numpy()), dtype=np.uint8
+            ).reshape(len(code), m)
+            qi = np.searchsorted(sorted_qids, qid.to_numpy(np.int64))
+            return pd.Series(score_codes(codes, sorted_luts, qi))
+
+        cand = lists.join(F.broadcast(probe_df), "list_id")
+        scored = cand.withColumn(
+            "cosine", adc(F.col("pq_code"), F.col("query_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return (
+            scored.groupBy("query_id", "vec_id")
+            .agg(F.max("cosine").alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+        )
     if manifest.get("storage") == "fp16":
         from .similarity import unpack_embeddings_fp16
 
