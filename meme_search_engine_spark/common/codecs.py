@@ -45,6 +45,14 @@ def varbyte_decode(data: bytes) -> np.ndarray:
     raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.int64)
+    if raw.max() < 0x80:
+        # fast path: no continuation bits anywhere (every value < 128 —
+        # the overwhelmingly common case for tfs and tight doc-id
+        # deltas), so each byte IS a value: one cast instead of the
+        # ~10-array-op general path.  Dominates serve-path latency,
+        # where blocks are small and per-call numpy overhead is the
+        # cost (cProfile: varbyte_decode was ~35% of warm query time).
+        return raw.astype(np.int64)
     is_start = np.empty(raw.shape, dtype=bool)
     is_start[0] = True
     np.less(raw[:-1] & 0x80, 0x80, out=is_start[1:])
@@ -54,9 +62,9 @@ def varbyte_decode(data: bytes) -> np.ndarray:
     contrib = (raw & np.uint8(0x7F)).astype(np.uint64) << (
         np.uint64(7) * pos.astype(np.uint64)
     )
-    out = np.zeros(starts.size, dtype=np.uint64)
-    np.bitwise_or.at(out, value_id, contrib)
-    return out.astype(np.int64)
+    # 7-bit groups are disjoint, so OR == ADD and the segment sum can
+    # use reduceat (an order of magnitude faster than bitwise_or.at)
+    return np.add.reduceat(contrib, starts).astype(np.int64)
 
 
 def varbyte_encode_segmented(
