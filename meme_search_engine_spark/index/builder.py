@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import asdict
 
 import pyspark.sql.functions as F
@@ -220,8 +221,12 @@ def build_index(
     parts_per_batch: int | None = None,
     fail_after_batches: int | None = None,
     cache_docs: bool | None = None,
+    timings: dict | None = None,
 ) -> dict:
     """Resumable end-to-end index build.  Returns the manifest dict.
+
+    timings: pass a dict to collect per-phase wall seconds
+    (stats/partials/docmeta/finalize) — scaling-protocol instrumentation.
 
     parts_per_batch: checkpoint granularity — how many build partitions
     one Spark job covers before the ledger commits (None = all pending
@@ -232,6 +237,8 @@ def build_index(
     tokenized once, not once per pass.
     """
     os.makedirs(out_dir, exist_ok=True)
+    t = timings if timings is not None else {}
+    t0 = time.time()
     snapshot = input_snapshot(pages)
 
     docs = docs_from_pages(pages)
@@ -257,6 +264,8 @@ def build_index(
         stats["input_snapshot"] = snapshot
         with open(stats_path, "w") as fh:
             json.dump(stats, fh)
+    t["stats"] = round(time.time() - t0, 3)
+    t0 = time.time()
 
     # ---- stage 1: salted partials, per checkpoint batch --------------
     done = completed_parts(spark, out_dir, snapshot)
@@ -286,12 +295,17 @@ def build_index(
     # would hide is not worth a 2x stage regression on a shared-memory
     # executor.  On a real cluster with separate executors the overlap
     # may pay; it must be re-measured there, not assumed.
+    t["partials"] = round(time.time() - t0, 3)
+    t0 = time.time()
     _write_docmeta(docs, out_dir, epoch=0)
     if cache_docs:
         docs.unpersist()
+    t["docmeta"] = round(time.time() - t0, 3)
+    t0 = time.time()
 
     # ---- stage 2: concat-merge finalize ------------------------------
     _finalize_epoch(spark, out_dir, cfg, epoch=0)
+    t["finalize"] = round(time.time() - t0, 3)
     return _write_manifest(out_dir, cfg, stats, snapshot)
 
 
