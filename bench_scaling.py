@@ -229,6 +229,10 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    bw_lo = results[lo].get("membw_control_gbps") or 0.0
+    bw_hi = results[hi].get("membw_control_gbps") or 0.0
+    bw_ratio = bw_hi / bw_lo if bw_lo else float("nan")
+    pct_of_ceiling = 100.0 * ratio / bw_ratio if bw_lo else float("nan")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
@@ -311,14 +315,18 @@ session that produced them):
 The binding ceiling — measured, not asserted: this box's MEMORY
 BANDWIDTH does not scale with process count.  The membw control above
 (concurrent 64 MB in-place copies, run in the same subprocess seconds
-before each build) shows total DRAM throughput grows only ~2.2x when
-streams go 2->8 (4x) — a 0.55 scaling efficiency ceiling imposed by
-the host's memory subsystem, while the int-ALU control scales at
-~0.92.  The build's dominant stage (token explode -> shuffle sort ->
-Arrow-batched encode) moves gigabytes through memory and is
-bandwidth-bound, so its observed speedup tracks the bandwidth curve,
-not the ALU curve: the single-box measurement is a measurement of the
-box.  On a real N-vs-4N EXECUTOR comparison — the scenario the north
+before each build) shows total DRAM throughput grows only
+{bw_ratio:.2f}x when streams go {lo}->{hi} ({hi // lo}x) — a
+{bw_ratio / (hi / lo):.2f} scaling-efficiency ceiling imposed by the
+host's memory subsystem, while the int-ALU control scales at ~0.92
+(separately measured: 8 int-loop procs = 7.3x over 1).  The build's
+dominant stage (token explode -> shuffle sort -> Arrow-batched encode)
+moves gigabytes through memory and is bandwidth-bound, so its observed
+speedup tracks the bandwidth curve, not the ALU curve: the headline
+{ratio:.2f}x build speedup is **{pct_of_ceiling:.0f}% of the
+{bw_ratio:.2f}x the memory subsystem physically delivers at {hi}
+streams** — the single-box measurement is a measurement of the box.
+On a real N-vs-4N EXECUTOR comparison — the scenario the north
 rule actually describes — every executor node contributes its own
 memory controllers and NIC, so the resource that is fixed here scales
 with the cluster there; the plan itself (one shuffle whose keys are
