@@ -95,6 +95,35 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def hybrid_bm25_cosine_topk(spark, sf_dir):
+    """Fused text+vector ranking: BM25 over `documents` + cosine over
+    `embeddings` (query vector = embedding of vec_id == query_id),
+    all-integer fixed-point fusion 3*bm25 + 1*cos — the reference's
+    mixed text/image query mode (common.rs:215-274 weighted channels;
+    query_disk_index.rs:463-473)."""
+    from .gate import GATE_QUERIES, _corpus
+    from .query.dataframe_engine import hybrid_topk
+
+    c = _corpus(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qtext = spark.createDataFrame(
+        GATE_QUERIES, "query_id int, text string, k int"
+    )
+    qv = emb.filter(F.col("vec_id") < len(GATE_QUERIES)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    queries = qtext.join(qv, "query_id")
+    doc_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = hybrid_topk(c["tf"], c["term_df"], c["stats"], queries, doc_vecs)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
 _IVF_IDX_CACHE: dict[str, str] = {}
 
 
@@ -419,12 +448,76 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _hybrid_oracle_sql() -> str:
+    """Built lazily: the query VALUES come from gate.GATE_QUERIES via
+    the same tokenizer the engine uses (gate.py imports this module
+    lazily, so a top-level import here would be circular)."""
+    from .common.bm25 import B, FIXED_POINT_SCALE, K1
+    from .query.dataframe_engine import COSINE_STEP_FIXED, COSINE_STEPS
+    from .gate import GATE_QUERIES, _gate_query_k_sql, _gate_query_values_sql
+
+    n_queries = len(GATE_QUERIES)
+    return f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tf0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf0 GROUP BY 1,2,3),
+        stats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl
+          FROM (SELECT doc_id, len(toks) AS dl FROM docs)
+        ),
+        qt AS (SELECT DISTINCT * FROM (VALUES {_gate_query_values_sql()})
+               AS t(query_id, term)),
+        qk AS (SELECT * FROM (VALUES {_gate_query_k_sql()}) AS t(query_id, k)),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contribs AS (
+          SELECT q.query_id, tf.doc_id,
+            CAST(floor(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0) * {K1 + 1.0}
+              * (tf.tf/(tf.tf + {K1}*(1.0 - {B} + {B}*tf.dl/s.avgdl)))
+              * {float(FIXED_POINT_SCALE)} + 0.5) AS BIGINT) AS contrib
+          FROM tf
+          JOIN qt q ON tf.term = q.term
+          JOIN dfreq d ON d.term = tf.term
+          CROSS JOIN stats s
+        ),
+        bm AS (SELECT query_id, doc_id, sum(contrib) AS bm25_fixed
+               FROM contribs GROUP BY 1,2),
+        qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {n_queries}),
+        cosd AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 CAST(round(list_dot_product(e.embedding, q.qvec)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(q.qvec, q.qvec)))
+                   * {COSINE_STEPS}, 0) AS BIGINT) AS cos4
+          FROM embeddings e CROSS JOIN qv q
+        ),
+        fused AS (
+          SELECT c.query_id, c.doc_id,
+                 3 * COALESCE(b.bm25_fixed, 0)
+                 + 1 * c.cos4 * {COSINE_STEP_FIXED} AS sf
+          FROM cosd c
+          LEFT JOIN bm b ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, sf,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY sf DESC, doc_id) AS rank
+          FROM fused
+        )
+        SELECT r.query_id, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+               round(r.sf / {float(FIXED_POINT_SCALE)}, 4) AS score
+        FROM ranked r JOIN qk ON qk.query_id = r.query_id
+        WHERE r.rank <= qk.k
+    """
+
+
 _FNS = {
     # ts_* first: r2's driver run truncated the registry tail and
     # dropped ts_fingerprints_md5 — keep unique coverage off the tail.
     "ts_fingerprints_md5": ts_fingerprints_md5,
     "ts_quality_scores": ts_quality_scores,
     "ts_lang_id": ts_lang_id,
+    "hybrid_bm25_cosine_topk": hybrid_bm25_cosine_topk,
     "dd_exact_groups": dd_exact_groups,
     "dd_jaccard_top_pairs": dd_jaccard_top_pairs,
     "dd_minhash_candidates": dd_minhash_candidates,
@@ -443,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # key order mirrors queries() exactly: whichever dict the driver
     # iterates, unique-coverage entries stay off the truncatable tail
-    out = {k: ORACLES[k] for k in _FNS if k in ORACLES}
-    out.update({k: v for k, v in ORACLES.items() if k not in out})
+    oracles = dict(ORACLES)
+    oracles["hybrid_bm25_cosine_topk"] = _hybrid_oracle_sql()
+    out = {k: oracles[k] for k in _FNS if k in oracles}
+    out.update({k: v for k, v in oracles.items() if k not in out})
     return out

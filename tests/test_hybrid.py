@@ -1,0 +1,74 @@
+"""Hybrid text+vector fusion: the candidate-union scale path must
+reproduce the dense fused ranking (reference analogue: ANN candidates
+reranked with full score channels, query_disk_index.rs:486-527)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from meme_search_engine_spark.gate import GATE_QUERIES, _corpus
+from meme_search_engine_spark.query.dataframe_engine import (
+    hybrid_topk,
+    hybrid_topk_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def hybrid_inputs(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet").cache()
+    qtext = spark.createDataFrame(
+        GATE_QUERIES, "query_id int, text string, k int"
+    )
+    qv = emb.filter(F.col("vec_id") < len(GATE_QUERIES)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = _corpus(spark, sf01_dir)
+    return {
+        "c": c,
+        "queries": qtext.join(qv, "query_id"),
+        "doc_vecs": emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+    }
+
+
+def _rows(df):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score_fixed"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_pruned_matches_dense(spark, hybrid_inputs):
+    h = hybrid_inputs
+    dense = hybrid_topk(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"],
+    )
+    pruned = hybrid_topk_pruned(
+        spark, h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"], n_candidates=200,
+    )
+    assert _rows(pruned) == _rows(dense)
+
+
+def test_channels_both_contribute(spark, hybrid_inputs):
+    """Text-less query ids still rank by cosine; a doc matching query
+    terms outranks its pure-cosine score."""
+    h = hybrid_inputs
+    dense = hybrid_topk(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"],
+    ).collect()
+    by_qid = {}
+    for r in dense:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    # query 3 is 'zzzmissingterm' — no BM25 hits, ranking is pure
+    # cosine, still k results (the vector channel is dense)
+    assert len(by_qid[3]) == 10
+    # every score_fixed is the exact integer fusion (divisible check:
+    # pure-cosine scores are multiples of COSINE_STEP_FIXED)
+    from meme_search_engine_spark.query.dataframe_engine import (
+        COSINE_STEP_FIXED,
+    )
+
+    for r in by_qid[3]:
+        assert r["score_fixed"] % COSINE_STEP_FIXED == 0
