@@ -226,6 +226,100 @@ class LocalSearcher:
         ]
         return self._attach_urls(results) if with_urls else results
 
+    _EMB_CACHE: dict[str, tuple] = {}
+
+    def _embeddings(self, path: str):
+        """(vec_ids int64[], unit_rows float64[n,d]) — loaded once and
+        cached per path (the reference mmaps its vector file once per
+        server process, query_disk_index.rs)."""
+        cache = LocalSearcher._EMB_CACHE
+        if path not in cache:
+            import numpy as np
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(path, format="parquet").to_table(
+                columns=["vec_id", "embedding"]
+            )
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            order = np.argsort(ids, kind="stable")
+            cache[path] = (ids[order], m[order])
+        return cache[path]
+
+    def search_hybrid(
+        self,
+        text: str,
+        qvec,
+        embeddings_path: str,
+        k: int = 10,
+        w_text: int = 3,
+        w_vec: int = 1,
+        with_urls: bool = False,
+    ) -> list[dict]:
+        """Fused text+vector serving — the reference's online hybrid
+        query server (text and image channels merged per query,
+        query_disk_index.rs:463-527).  Rank-identical to the batch
+        hybrid_topk: same integer fusion w_text*bm25_fixed +
+        w_vec*cos4*COSINE_STEP_FIXED over the embedding universe
+        (pytest-verified)."""
+        import numpy as np
+
+        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
+        from .dataframe_engine import COSINE_STEP_FIXED, COSINE_STEPS
+        from .wand import _decode_block
+
+        ids, m = self._embeddings(embeddings_path)
+        q = np.asarray(qvec, dtype=np.float64)
+        denom = np.linalg.norm(m, axis=1) * np.linalg.norm(q)
+        cos = (m @ q) / np.maximum(denom, 1e-30)
+        x = cos * COSINE_STEPS
+        # HALF_UP away from zero — matches Spark/DuckDB round(x, 0)
+        cos4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        score = w_vec * cos4 * COSINE_STEP_FIXED
+
+        hashes = sorted({term_hash(t) for t in tokenize(text)})
+        acc: dict[int, int] = {}
+        if hashes:
+            pdf = self._fetch_blocks(hashes)
+            if pdf is not None:
+                k1, b = self.cfg["k1"], self.cfg["b"]
+                n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+                for th, g in pdf.groupby("term_hash"):
+                    idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
+                    for r in g.itertuples(index=False):
+                        d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
+                        tf_f = tfs.astype(np.float64)
+                        tf_norm = tf_f / (
+                            tf_f
+                            + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+                        )
+                        fixed = np.floor(
+                            (idf * (k1 + 1.0) * tf_norm)
+                            * float(FIXED_POINT_SCALE)
+                            + 0.5
+                        ).astype(np.int64)
+                        for doc, fx in zip(d.tolist(), fixed.tolist()):
+                            acc[doc] = acc.get(doc, 0) + fx
+        if acc:
+            pos = np.searchsorted(ids, np.fromiter(acc, dtype=np.int64))
+            vals = np.fromiter(acc.values(), dtype=np.int64)
+            keys = np.fromiter(acc, dtype=np.int64)
+            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == keys)
+            score[pos[ok]] += w_text * vals[ok]
+
+        kk = min(k, len(ids))
+        order = np.lexsort((ids, -score))[:kk]
+        results = [
+            {
+                "rank": i + 1,
+                "doc_id": int(ids[j]),
+                "score_fixed": int(score[j]),
+                "score": score[j] / float(FIXED_POINT_SCALE),
+            }
+            for i, j in enumerate(order)
+        ]
+        return self._attach_urls(results) if with_urls else results
+
     def search_weighted(
         self, terms: list[tuple[str, float]], k: int = 10,
         with_urls: bool = False,

@@ -72,3 +72,32 @@ def test_channels_both_contribute(spark, hybrid_inputs):
 
     for r in by_qid[3]:
         assert r["score_fixed"] % COSINE_STEP_FIXED == 0
+
+
+def test_serve_hybrid_matches_batch(spark, sf01_dir, hybrid_inputs):
+    """LocalSearcher.search_hybrid reproduces the batch dense fusion
+    rank- AND score_fixed-identically per gate query."""
+    from meme_search_engine_spark.gate import _built_index
+    from meme_search_engine_spark.query.serve import LocalSearcher
+
+    h = hybrid_inputs
+    dense = hybrid_topk(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"],
+    ).collect()
+    by_qid = {}
+    for r in dense:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_fixed"])
+        )
+    searcher = LocalSearcher(_built_index(spark, sf01_dir))
+    qpd = h["queries"].toPandas()
+    for _, row in qpd.iterrows():
+        got = searcher.search_hybrid(
+            row["text"], row["qvec"],
+            f"{sf01_dir}/embeddings.parquet", k=int(row["k"]),
+        )
+        want = sorted(by_qid[row["query_id"]])
+        assert [
+            (g["rank"], g["doc_id"], g["score_fixed"]) for g in got
+        ] == want, row["query_id"]
