@@ -120,6 +120,21 @@ def main() -> None:
         fmt(pq),
     ))
 
+    # hybrid fusion: cosine channel broadcast-joined, BM25 channel
+    # joins only above its aggregate
+    from meme_search_engine_spark.gate_pipeline import hybrid_bm25_cosine_topk
+    hy = hybrid_bm25_cosine_topk(spark, sf_dir)
+    sections.append((
+        "hybrid BM25 + cosine fusion",
+        "want: the query table (text terms AND query vectors) is "
+        "BROADCAST on both channels — the doc/embedding sides never "
+        "shuffle for a join; the text channel aggregates (partial_sum "
+        "then one (query_id,doc_id) exchange) BEFORE fusing with the "
+        "dense cosine channel via a left join on the aggregated "
+        "candidate rows; one final per-query window top-k",
+        fmt(hy),
+    ))
+
     with open("PLANS.md", "w") as fh:
         fh.write(
             "# PLANS — physical-plan audit (auto-generated by "
