@@ -17,8 +17,11 @@ Response JSON:
 GET /presets lists saved presets; PUT semantics via
 {"save_preset": "name", "text": [[...], ...]} persist one.
 
-Image/embedding terms from the reference's API have no BM25 analogue
-and return 400 with an explanatory message.
+Hybrid text+vector queries (the reference's mixed text/image mode):
+    {"query": "free text", "qvec": [f32...], "weights": [3, 1],
+     "top_k": 10}
+served when the server is constructed with embeddings_path; raw image
+bytes still 400 (embed client-side, pass qvec).
 """
 
 from __future__ import annotations
@@ -67,7 +70,11 @@ class PresetStore:
             os.replace(tmp, self._path)  # atomic swap, like the manifest
 
 
-def make_handler(searcher: LocalSearcher, presets: PresetStore):
+def make_handler(
+    searcher: LocalSearcher,
+    presets: PresetStore,
+    embeddings_path: str | None = None,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -86,12 +93,13 @@ def make_handler(searcher: LocalSearcher, presets: PresetStore):
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._reply(400, {"error": "invalid JSON body"})
-            if "images" in req or "embeddings" in req:
+            if "images" in req:
                 return self._reply(
                     400,
                     {
-                        "error": "image/embedding terms are not supported "
-                        "by the BM25 engine; use text terms"
+                        "error": "raw image terms are not supported; embed "
+                        "client-side and pass {'qvec': [...]} for the "
+                        "hybrid text+vector mode"
                     },
                 )
             k = int(req.get("top_k", 10))
@@ -108,7 +116,31 @@ def make_handler(searcher: LocalSearcher, presets: PresetStore):
                     return self._reply(
                         200, {"saved": str(req["save_preset"])}
                     )
-                if "preset" in req:
+                if "qvec" in req:
+                    # hybrid text+vector query — the reference's mixed
+                    # text/image channels (query_disk_index.rs:463-527)
+                    if embeddings_path is None:
+                        return self._reply(
+                            400,
+                            {
+                                "error": "server started without an "
+                                "embeddings table; hybrid queries disabled"
+                            },
+                        )
+                    qvec = [float(x) for x in req["qvec"]]
+                    w_text, w_vec = (
+                        req.get("weights", [3, 1]) + [3, 1]
+                    )[:2]
+                    matches = searcher.search_hybrid(
+                        str(req.get("query", "")),
+                        qvec,
+                        embeddings_path,
+                        k,
+                        w_text=int(w_text),
+                        w_vec=int(w_vec),
+                        with_urls=True,
+                    )
+                elif "preset" in req:
                     terms = presets.get(str(req["preset"]))
                     if terms is None:
                         return self._reply(
@@ -149,11 +181,18 @@ class SearchServer:
     """Threaded HTTP server wrapper (start()/stop()); the reference's
     axum/aiohttp server role."""
 
-    def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        index_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        embeddings_path: str | None = None,
+    ):
         self.searcher = LocalSearcher(index_dir)
         self.presets = PresetStore(index_dir)
         self._httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.searcher, self.presets)
+            (host, port),
+            make_handler(self.searcher, self.presets, embeddings_path),
         )
         self._thread: threading.Thread | None = None
 

@@ -31,7 +31,27 @@ def server(spark, tmp_path_factory):
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{pages_dir}/*.parquet' ORDER BY doc_id"
     ).fetchall()
-    srv = SearchServer(idx).start()
+    # deterministic embeddings sidecar for the hybrid mode
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(N_DOCS, 16)).astype(np.float32)
+    emb_path = str(base / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_DOCS), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in emb],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        emb_path,
+    )
+    srv = SearchServer(idx, embeddings_path=emb_path).start()
     yield srv, OracleIndex.build(rows)
     srv.stop()
 
@@ -147,3 +167,47 @@ def test_concurrent_requests(server):
     with concurrent.futures.ThreadPoolExecutor(16) as ex:
         results = list(ex.map(one, range(64)))
     assert all(r > 0 for r in results)
+
+
+def test_hybrid_request(server):
+    """qvec + text fuses both channels and matches the direct
+    LocalSearcher.search_hybrid call; qvec without an embeddings table
+    is a clean 400."""
+    srv, oracle = server
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    qvec = [float(x) for x in emb[5]]
+    # no-text hybrid: ranking is pure cosine, the self vector wins
+    code, resp = _post(srv.port, {"qvec": qvec, "top_k": 7})
+    assert code == 200
+    assert resp["matches"][0]["doc_id"] == 5
+    # fused request equals the direct LocalSearcher call
+    code, resp = _post(
+        srv.port, {"query": "term0001", "qvec": qvec, "top_k": 7}
+    )
+    assert code == 200
+    assert len(resp["matches"]) == 7
+    direct = srv.searcher.search_hybrid(
+        "term0001", qvec, _emb_path_of(srv), k=7
+    )
+    assert [
+        (m["doc_id"], m["score_fixed"]) for m in resp["matches"]
+    ] == [(d["doc_id"], d["score_fixed"]) for d in direct]
+
+    bare = SearchServer(_index_dir_of(srv)).start()
+    try:
+        code, resp = _post(bare.port, {"query": "x", "qvec": qvec})
+        assert code == 400
+        assert "hybrid" in resp["error"]
+    finally:
+        bare.stop()
+
+
+def _emb_path_of(srv):
+    import os
+
+    return os.path.join(
+        os.path.dirname(_index_dir_of(srv)), "embeddings.parquet"
+    )
