@@ -50,6 +50,7 @@ def build_ivf_index(
     pq_m: int = 8,
     pq_ksub: int = 256,
     pq_codebooks: np.ndarray | None = None,
+    pq_opq: bool = False,
 ) -> dict:
     """Train (balanced k-means) + assign + write.  Returns the manifest.
 
@@ -76,12 +77,17 @@ def build_ivf_index(
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_lists, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill)
+    rotation = None
     if storage == "pq":
-        from .pq import pq_encode, train_pq
+        from .pq import pq_encode, train_opq_rotation, train_pq
 
+        if pq_opq:
+            rotation = train_opq_rotation(embeddings, m=pq_m)
         if pq_codebooks is None:
-            pq_codebooks = train_pq(embeddings, m=pq_m, ksub=pq_ksub)
-        assigned = pq_encode(assigned, pq_codebooks)
+            pq_codebooks = train_pq(
+                embeddings, m=pq_m, ksub=pq_ksub, rotation=rotation
+            )
+        assigned = pq_encode(assigned, pq_codebooks, rotation=rotation)
     elif storage == "fp16":
         assigned = pack_embeddings_fp16(assigned)
     (
@@ -100,6 +106,8 @@ def build_ivf_index(
     }
     if storage == "pq":
         manifest["pq_codebooks"] = np.asarray(pq_codebooks).tolist()
+        if rotation is not None:
+            manifest["pq_rotation"] = rotation.tolist()
     tmp = os.path.join(out_dir, "ivf_manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -149,8 +157,13 @@ def ivf_search(
         from .pq import adc_tables, score_codes
 
         books = np.asarray(manifest["pq_codebooks"], dtype=np.float64)
+        rot = (
+            np.asarray(manifest["pq_rotation"], dtype=np.float64)
+            if "pq_rotation" in manifest
+            else None
+        )
         m = books.shape[0]
-        luts = adc_tables(books, qm)
+        luts = adc_tables(books, qm, rot)
         qid_arr = queries_pd["query_id"].to_numpy(np.int64)
         order = np.argsort(qid_arr, kind="stable")
         sorted_qids, sorted_luts = qid_arr[order], luts[order]

@@ -36,6 +36,59 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _collect_sample(
+    embeddings: DataFrame, sample_size: int, col: str
+) -> np.ndarray:
+    """Deterministic driver-side training sample: the `sample_size`
+    vectors with the smallest xxhash64(vec_id) (an unbiased, seedless
+    corpus sample — same idiom as the f6 hash-sample gate),
+    l2-normalized."""
+    sample = (
+        embeddings.select("vec_id", col)
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    return l2_normalize(np.array([r[col] for r in sample], dtype=np.float64))
+
+
+def train_opq_rotation(
+    embeddings: DataFrame,
+    m: int = 8,
+    sample_size: int = 50_000,
+    col: str = "embedding",
+) -> np.ndarray:
+    """Parametric OPQ rotation (d, d): eigen-decompose the sample
+    covariance and allocate principal directions to the m subspaces so
+    each subspace carries a balanced share of the variance (OPQ-P,
+    Ge et al. 2013 — the closed-form counterpart of the reference's
+    gradient-trained projection, diskann/aopq_train.py `projection`).
+    Encode/query rotate by R first; R is orthogonal, so cosines are
+    preserved exactly and only the quantization grid changes."""
+    x = _collect_sample(embeddings, sample_size, col)
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    cov = (x.T @ x) / max(len(x), 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    # greedy balanced allocation: next-largest eigenvalue goes to the
+    # non-full subspace with the smallest variance product so far
+    logs = np.log(np.maximum(evals, 1e-12))
+    bucket_sum = np.zeros(m)
+    bucket_fill = np.zeros(m, dtype=np.int64)
+    assign: list[list[int]] = [[] for _ in range(m)]
+    for i in range(d):
+        open_b = np.flatnonzero(bucket_fill < dsub)
+        b = open_b[np.argmin(bucket_sum[open_b])]
+        assign[b].append(i)
+        bucket_sum[b] += logs[i]
+        bucket_fill[b] += 1
+    perm = [i for bucket in assign for i in bucket]
+    return np.ascontiguousarray(evecs[:, perm])
+
+
 def train_pq(
     embeddings: DataFrame,
     m: int = 8,
@@ -43,6 +96,7 @@ def train_pq(
     n_iters: int = 10,
     sample_size: int = 50_000,
     col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks -> (m, ksub, dim/m) float64.
 
@@ -50,15 +104,15 @@ def train_pq(
     smallest xxhash64(vec_id) (an unbiased, seedless corpus sample —
     same idiom as the f6 hash-sample gate), and k-means init is the
     first ksub sample rows per subspace.  Empty clusters keep their
-    previous centroid (same convention as ops/kmeans)."""
+    previous centroid (same convention as ops/kmeans).
+
+    rotation: optional (d, d) OPQ matrix (train_opq_rotation) applied
+    to the sample before subspace training — pass the SAME matrix to
+    pq_encode/adc_tables."""
     assert ksub <= 256, "codes are uint8: ksub must be <= 256"
-    sample = (
-        embeddings.select("vec_id", col)
-        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
-        .limit(sample_size)
-        .collect()
-    )
-    x = l2_normalize(np.array([r[col] for r in sample], dtype=np.float64))
+    x = _collect_sample(embeddings, sample_size, col)
+    if rotation is not None:
+        x = x @ rotation
     n, d = x.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     assert n >= ksub, f"sample ({n}) smaller than ksub ({ksub})"
@@ -100,18 +154,23 @@ def pq_encode(
     codebooks: np.ndarray,
     col: str = "embedding",
     out: str = "pq_code",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """array<float> column -> m-byte binary PQ codes (vector dropped).
 
     The input vector is l2-normalized before coding, so codes always
-    represent unit vectors and ADC inner products estimate cosine."""
+    represent unit vectors and ADC inner products estimate cosine.
+    rotation: the OPQ matrix the codebooks were trained with."""
     books = np.ascontiguousarray(codebooks)
+    rot = None if rotation is None else np.ascontiguousarray(rotation)
 
     @F.pandas_udf("binary")
     def enc(s: pd.Series) -> pd.Series:
         if not len(s):
             return pd.Series([], dtype=object)
         vm = l2_normalize(np.stack(s.to_numpy()).astype(np.float64))
+        if rot is not None:
+            vm = vm @ rot
         codes = _encode_matrix(vm, books)
         buf = codes.tobytes()
         m = books.shape[0]
@@ -127,9 +186,12 @@ def pq_decode(
     codebooks: np.ndarray,
     col: str = "pq_code",
     out: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
-    """Reconstruct the (unit-norm, quantized) vectors from codes."""
+    """Reconstruct the (unit-norm, quantized) vectors from codes,
+    rotated back into the original basis when an OPQ matrix is given."""
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    rot_t = None if rotation is None else np.ascontiguousarray(rotation.T)
     m, _, dsub = books.shape
 
     @F.pandas_udf("array<float>")
@@ -138,17 +200,27 @@ def pq_decode(
             return pd.Series([], dtype=object)
         codes = np.frombuffer(b"".join(s.to_numpy()), dtype=np.uint8)
         codes = codes.reshape(len(s), m)
-        recon = np.empty((len(s), m * dsub), dtype=np.float32)
+        recon = np.empty((len(s), m * dsub), dtype=np.float64)
         for j in range(m):
             recon[:, j * dsub : (j + 1) * dsub] = books[j][codes[:, j]]
-        return pd.Series(list(recon), dtype=object)
+        if rot_t is not None:
+            recon = recon @ rot_t
+        return pd.Series(list(recon.astype(np.float32)), dtype=object)
 
     return df.withColumn(out, dec(F.col(col))).drop(col)
 
 
-def adc_tables(codebooks: np.ndarray, queries: np.ndarray) -> np.ndarray:
-    """(Q, d) queries -> (Q, m, ksub) inner-product lookup tables."""
+def adc_tables(
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    rotation: np.ndarray | None = None,
+) -> np.ndarray:
+    """(Q, d) queries -> (Q, m, ksub) inner-product lookup tables.
+    With an OPQ rotation, <x, q> == <Rx, Rq>, so rotating the query
+    into codebook space keeps ADC an exact inner-product estimate."""
     qn = l2_normalize(np.asarray(queries, dtype=np.float64))
+    if rotation is not None:
+        qn = qn @ rotation
     m, ksub, dsub = codebooks.shape
     luts = np.empty((qn.shape[0], m, ksub), dtype=np.float64)
     for j in range(m):
@@ -170,6 +242,7 @@ def pq_adc_topk(
     codebooks: np.ndarray,
     queries_pd: pd.DataFrame,
     k: int = 10,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes, no decode: per-batch ADC
     lookups then the same partial-top-k/merge shape as
@@ -177,7 +250,7 @@ def pq_adc_topk(
     `cosine` is the ADC estimate (quantized)."""
     books = np.ascontiguousarray(codebooks)
     qids = queries_pd["query_id"].to_numpy(np.int64)
-    luts = adc_tables(books, np.stack(queries_pd["qvec"].to_numpy()))
+    luts = adc_tables(books, np.stack(queries_pd["qvec"].to_numpy()), rotation)
     nq, m = len(qids), books.shape[0]
 
     def kernel(batches):

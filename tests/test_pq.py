@@ -125,3 +125,66 @@ def test_ivf_index_pq_storage(spark, emb_df, tmp_path):
         want = set(exact[exact.query_id == qid].vec_id)
         recalls.append(len(want & set(got[got.query_id == qid].vec_id)) / 10)
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark, emb_df):
+    r1 = pq.train_opq_rotation(emb_df, m=8, sample_size=400)
+    r2 = pq.train_opq_rotation(emb_df, m=8, sample_size=400)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(r1 @ r1.T, np.eye(r1.shape[0]), atol=1e-9)
+
+
+def test_opq_beats_plain_pq_on_unbalanced_variance(spark):
+    """Variance concentrated in ONE axis-aligned subspace is the case
+    the OPQ rotation exists for (Ge et al. 2013; the reference trains
+    its aopq projection for the same imbalance): plain PQ burns one
+    32-centroid codebook on all the signal while 15 codebooks quantize
+    noise; the eigenvalue-balanced rotation gives each signal
+    direction its own subspace."""
+    rng = np.random.default_rng(11)
+    sig = rng.normal(size=(600, 4)) * np.array([10.0, 8.0, 6.0, 5.0])
+    noise = 0.05 * rng.normal(size=(600, 60))
+    x = np.concatenate([sig, noise], axis=1).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    def mean_recon_cos(rotation):
+        books = pq.train_pq(
+            df, m=16, ksub=32, n_iters=6, sample_size=600, rotation=rotation
+        )
+        dec = pq.pq_decode(
+            pq.pq_encode(df, books, rotation=rotation),
+            books,
+            rotation=rotation,
+        )
+        orig = {i: x[i] / np.linalg.norm(x[i]) for i in range(len(x))}
+        cs = []
+        for r in dec.collect():
+            w = np.asarray(r["embedding"], dtype=np.float64)
+            cs.append(float(orig[r["vec_id"]] @ w / np.linalg.norm(w)))
+        return float(np.mean(cs))
+
+    plain = mean_recon_cos(None)
+    opq = mean_recon_cos(pq.train_opq_rotation(df, m=16, sample_size=600))
+    assert opq >= plain - 1e-6, (plain, opq)
+    assert opq > 0.9
+
+
+def test_ivf_index_pq_opq_roundtrip(spark, emb_df, tmp_path):
+    from meme_search_engine_spark.ops import ivf_index
+
+    out = str(tmp_path / "ivf_opq")
+    ivf_index.build_ivf_index(
+        spark, emb_df, out, n_lists=8, spill=2, n_iters=4,
+        storage="pq", pq_m=16, pq_ksub=64, pq_opq=True,
+    )
+    man = ivf_index.load_ivf_manifest(out)
+    assert "pq_rotation" in man
+    qpd = _queries(emb_df, 3)
+    got = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=6).toPandas()
+    assert set(got.query_id) == set(qpd.query_id)
+    # the self vector survives OPQ quantization at rank ~1
+    for qid in qpd["query_id"]:
+        assert qid in set(got[got.query_id == qid].vec_id)
