@@ -72,13 +72,19 @@ def build_ivf_index(
     from .kmeans import train_balanced_kmeans
     from .similarity import pack_embeddings_fp16
 
-    assert storage in ("fp16", "fp32", "pq"), storage
+    assert storage in ("fp16", "fp32", "pq", "int8"), storage
     os.makedirs(out_dir, exist_ok=True)
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_lists, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill)
     rotation = None
-    if storage == "pq":
+    int8_scales = None
+    if storage == "int8":
+        from .similarity import pack_embeddings_int8, train_int8_scales
+
+        int8_scales = train_int8_scales(embeddings)
+        assigned = pack_embeddings_int8(assigned, *int8_scales)
+    elif storage == "pq":
         from .pq import pq_encode, train_opq_rotation, train_pq
 
         if pq_opq:
@@ -108,6 +114,9 @@ def build_ivf_index(
         manifest["pq_codebooks"] = np.asarray(pq_codebooks).tolist()
         if rotation is not None:
             manifest["pq_rotation"] = rotation.tolist()
+    if int8_scales is not None:
+        manifest["int8_smin"] = int8_scales[0].tolist()
+        manifest["int8_smax"] = int8_scales[1].tolist()
     tmp = os.path.join(out_dir, "ivf_manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -199,6 +208,14 @@ def ivf_search(
         # decode-in-probe: only the pruned n_probe/n_lists fraction is
         # ever dequantized, Arrow-batched (one numpy cast per batch)
         lists = unpack_embeddings_fp16(lists)
+    elif manifest.get("storage") == "int8":
+        from .similarity import unpack_embeddings_int8
+
+        lists = unpack_embeddings_int8(
+            lists,
+            np.asarray(manifest["int8_smin"]),
+            np.asarray(manifest["int8_smax"]),
+        )
     cand = lists.join(F.broadcast(probe_df), "list_id")
     scored = cand.withColumn(
         "cosine",
