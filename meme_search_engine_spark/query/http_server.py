@@ -70,11 +70,53 @@ class PresetStore:
             os.replace(tmp, self._path)  # atomic swap, like the manifest
 
 
+class Metrics:
+    """Process-local query metrics in Prometheus text exposition
+    format — the reference's monitoring surface (main.rs
+    QUERIES_COUNTER / TERMS_COUNTER and the axum /metrics route)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counts: dict[str, int] = {}
+        self._lat_ms: list[float] = []  # bounded reservoir
+
+    def observe(self, kind: str, ms: float, ok: bool) -> None:
+        with self._lock:
+            key = kind if ok else f"{kind}_error"
+            self._counts[key] = self._counts.get(key, 0) + 1
+            if ok:
+                self._lat_ms.append(ms)
+                if len(self._lat_ms) > 4096:
+                    self._lat_ms = self._lat_ms[-2048:]
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE mse_queries_total counter",
+            ]
+            for key in sorted(self._counts):
+                lines.append(
+                    f'mse_queries_total{{kind="{key}"}} {self._counts[key]}'
+                )
+            lat = sorted(self._lat_ms)
+            if lat:
+                lines.append("# TYPE mse_query_latency_ms summary")
+                for q, name in ((0.5, "0.5"), (0.9, "0.9"), (0.99, "0.99")):
+                    v = lat[min(int(q * len(lat)), len(lat) - 1)]
+                    lines.append(
+                        f'mse_query_latency_ms{{quantile="{name}"}} {v:.3f}'
+                    )
+                lines.append(f"mse_query_latency_ms_count {len(lat)}")
+            return "\n".join(lines) + "\n"
+
+
 def make_handler(
     searcher: LocalSearcher,
     presets: PresetStore,
     embeddings_path: str | None = None,
+    metrics: Metrics | None = None,
 ):
+    metrics = metrics or Metrics()
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -105,6 +147,15 @@ def make_handler(
             k = int(req.get("top_k", 10))
             if k < 1:
                 return self._reply(400, {"error": "top_k must be >= 1"})
+            import time as _time
+
+            kind = (
+                "hybrid" if "qvec" in req
+                else "preset" if "preset" in req
+                else "weighted" if "text" in req
+                else "simple"
+            )
+            t0 = _time.time()
             try:
                 if "save_preset" in req:
                     if "text" not in req:
@@ -157,10 +208,22 @@ def make_handler(
                         400, {"error": "need 'text', 'query', or 'preset'"}
                     )
             except (TypeError, ValueError) as e:
+                metrics.observe(kind, 0.0, ok=False)
                 return self._reply(400, {"error": f"bad request: {e}"})
+            metrics.observe(kind, (_time.time() - t0) * 1000.0, ok=True)
             self._reply(200, {"matches": matches})
 
         def do_GET(self):
+            if self.path == "/metrics":
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path == "/presets":
                 return self._reply(200, {"presets": presets.names()})
             if self.path == "/health":

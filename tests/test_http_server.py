@@ -211,3 +211,19 @@ def _emb_path_of(srv):
     return os.path.join(
         os.path.dirname(_index_dir_of(srv)), "embeddings.parquet"
     )
+
+
+def test_metrics_endpoint(server):
+    """Prometheus text exposition — the reference's /metrics route
+    (main.rs QUERIES_COUNTER)."""
+    srv, _ = server
+    _post(srv.port, {"query": "term0001", "top_k": 3})
+    _post(srv.port, {"text": [["term0001", 1.0]], "top_k": 3})
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+    ) as resp:
+        body = resp.read().decode()
+        assert resp.headers["Content-Type"].startswith("text/plain")
+    assert 'mse_queries_total{kind="simple"}' in body
+    assert 'mse_queries_total{kind="weighted"}' in body
+    assert "mse_query_latency_ms_count" in body
