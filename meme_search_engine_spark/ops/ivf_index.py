@@ -124,6 +124,59 @@ def build_ivf_index(
     return manifest
 
 
+def append_ivf_index(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Delta-cost append: assign ONLY the new vectors against the
+    STORED centroids and append their rows into the per-list partition
+    dirs — the reference's ingest loop adds vectors to existing shards
+    without retraining (dump_processor.rs shard routing; the text
+    index's per-epoch appends are the same design, builder.py).
+
+    Centroids are frozen, so assignment is deterministic and a search
+    over build+append equals a cold build over the union
+    (pytest-asserted).  Retraining/rebalancing is an explicit rebuild,
+    like compact_index for the text index."""
+    manifest = load_ivf_manifest(out_dir)
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    assigned = ivf_assign(new_embeddings, cents, int(manifest["spill"]))
+    storage = manifest.get("storage", "fp32")
+    if storage == "pq":
+        from .pq import pq_encode
+
+        rotation = (
+            np.asarray(manifest["pq_rotation"], dtype=np.float64)
+            if "pq_rotation" in manifest
+            else None
+        )
+        assigned = pq_encode(
+            assigned,
+            np.asarray(manifest["pq_codebooks"], dtype=np.float64),
+            rotation=rotation,
+        )
+    elif storage == "int8":
+        from .similarity import pack_embeddings_int8
+
+        assigned = pack_embeddings_int8(
+            assigned,
+            np.asarray(manifest["int8_smin"]),
+            np.asarray(manifest["int8_smax"]),
+        )
+    elif storage == "fp16":
+        from .similarity import pack_embeddings_fp16
+
+        assigned = pack_embeddings_fp16(assigned)
+    (
+        assigned.repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("append")
+        .parquet(os.path.join(out_dir, "lists"))
+    )
+    return manifest
+
+
 def load_ivf_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "ivf_manifest.json")) as fh:
         return json.load(fh)

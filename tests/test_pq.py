@@ -226,3 +226,34 @@ def test_int8_scalar_quantization_roundtrip_and_ivf(spark, emb_df, tmp_path):
         recalls.append(len(want & set(got[got.query_id == qid].vec_id)) / 10)
     # near-lossless storage: recall should match the fp16 path closely
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_append_equals_cold_build(spark, emb_df, tmp_path):
+    """Appending new vectors (frozen centroids) must answer queries
+    identically to a cold build over the union — the IVF analogue of
+    the text index's append==cold invariant (test_append)."""
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    old = emb_df.filter(F.col("vec_id") < 400)
+    new = emb_df.filter(F.col("vec_id") >= 400)
+    cents = deterministic_centroids(old, 8)
+
+    inc = str(tmp_path / "ivf_inc")
+    cold = str(tmp_path / "ivf_cold")
+    ivf_index.build_ivf_index(
+        spark, old, inc, spill=2, centroids=cents, storage="fp16"
+    )
+    ivf_index.append_ivf_index(spark, new, inc)
+    ivf_index.build_ivf_index(
+        spark, emb_df, cold, spill=2, centroids=cents, storage="fp16"
+    )
+
+    qpd = _queries(emb_df, 5)
+    a = ivf_index.ivf_search(spark, inc, qpd, k=10, n_probe=4).toPandas()
+    b = ivf_index.ivf_search(spark, cold, qpd, k=10, n_probe=4).toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    # appended vectors are actually findable
+    assert any(v >= 400 for v in a.vec_id)
