@@ -161,3 +161,19 @@ def test_to_fixed_half_up():
     assert to_fixed(0.0) == 0
     # deterministic total order property: monotone
     assert to_fixed(0.5) < to_fixed(0.5000001)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=120, max_value=135), min_size=1, max_size=64
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_varbyte_continuation_boundary(values):
+    """Mixed 1-byte/2-byte values straddle the fast path's trigger
+    (any byte >= 0x80): both the all-small cast path and the reduceat
+    general path must agree with the naive encoder."""
+    arr = np.array(values, dtype=np.int64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == values
+    small = np.minimum(arr, 127)
+    assert varbyte_decode(varbyte_encode(small)).tolist() == small.tolist()
