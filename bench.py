@@ -41,10 +41,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, repeats: int = 1):
+        # repeats>1 (query-side timings only): best-of, because single
+        # draws on this VM swing ±50% with hypervisor noise — builds
+        # stay single-shot (too expensive to repeat here; the 100k
+        # build below does its own best-of-2)
+        best_dt, out = None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        timings[name] = round(best_dt, 3)
         return out
 
     # warm the JVM/Arrow path once so timings measure work, not startup
@@ -61,6 +69,7 @@ def main() -> None:
         timed(
             "bm25_exhaustive",
             lambda: gate.q_bm25_topk(spark, sf_dir).collect(),
+            repeats=2,
         )
 
         segments, term_stats, manifest = load_index(spark, idx_dir)
@@ -72,6 +81,7 @@ def main() -> None:
         timed(
             "wand_topk",
             lambda: wand_topk(spark, segments, term_stats, manifest, qdf).collect(),
+            repeats=2,
         )
         # per-query serving latency (warm index): p50 over the gate set
         # through the driver-local path (the reference's online-server
@@ -96,8 +106,8 @@ def main() -> None:
         lat = sorted(best.values())
         extras["serve_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
 
-        timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect())
-        timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect())
+        timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect(), repeats=2)
+        timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect(), repeats=2)
 
         # extraction-heavy build: html->text Arrow UDF in the loop (the
         # input_hint path); synthetic pages corpus, scaled with sf
