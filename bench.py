@@ -8,7 +8,9 @@ line:
 
 Headline queries:
   index_build      full posting-segment build over `documents`
-  bm25_exhaustive  DataFrame BM25 top-k, gate query set (in-flight stats)
+  bm25_exhaustive  DataFrame BM25 top-k, gate query set (in-flight stats;
+                   best-of-2, so the reported number is the warm-corpus
+                   path — the first pass pays tokenize+persist)
   wand_topk        block-max WAND over the built index, gate query set
   wand_p50_ms      per-query p50 latency (reported in extras)
   doc_stats / term_df_top  corpus analytics
