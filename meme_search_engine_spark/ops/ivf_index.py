@@ -138,7 +138,14 @@ def append_ivf_index(
     Centroids are frozen, so assignment is deterministic and a search
     over build+append equals a cold build over the union
     (pytest-asserted).  Retraining/rebalancing is an explicit rebuild,
-    like compact_index for the text index."""
+    like compact_index for the text index.
+
+    Crash-retry idempotence: there is no ledger here — a failed append
+    retried may leave duplicate (vec_id, list_id) rows — but search
+    results are INVARIANT under duplication: ivf_search collapses
+    (query_id, vec_id) with max(cosine) (the same dedup the spill>1
+    multi-assignment needs), and duplicates score identically
+    (pytest-asserted).  An explicit rewrite dedups storage."""
     manifest = load_ivf_manifest(out_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     assigned = ivf_assign(new_embeddings, cents, int(manifest["spill"]))

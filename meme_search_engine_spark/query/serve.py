@@ -269,6 +269,8 @@ class LocalSearcher:
         from .wand import _decode_block
 
         ids, m = self._embeddings(embeddings_path)
+        if not len(ids):
+            return []
         q = np.asarray(qvec, dtype=np.float64)
         denom = np.linalg.norm(m, axis=1) * np.linalg.norm(q)
         cos = (m @ q) / np.maximum(denom, 1e-30)

@@ -257,3 +257,26 @@ def test_ivf_append_equals_cold_build(spark, emb_df, tmp_path):
     assert a.values.tolist() == b.values.tolist()
     # appended vectors are actually findable
     assert any(v >= 400 for v in a.vec_id)
+
+
+def test_ivf_double_append_results_invariant(spark, emb_df, tmp_path):
+    """A crash-retried append may duplicate rows; search results must
+    be invariant (the (query,vec) max-dedup collapses them)."""
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    old = emb_df.filter(F.col("vec_id") < 400)
+    new = emb_df.filter(F.col("vec_id") >= 400)
+    out = str(tmp_path / "ivf_dup")
+    ivf_index.build_ivf_index(
+        spark, old, out, spill=2,
+        centroids=deterministic_centroids(old, 8), storage="fp16",
+    )
+    qpd = _queries(emb_df, 3)
+    ivf_index.append_ivf_index(spark, new, out)
+    once = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    ivf_index.append_ivf_index(spark, new, out)  # retry duplicates rows
+    twice = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    assert once.values.tolist() == twice.values.tolist()
