@@ -305,6 +305,7 @@ def hybrid_topk_pruned(
     w_vec: int = 1,
     default_k: int = 10,
     n_candidates: int = 50,
+    vec_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for hybrid_topk: candidate generation then exact
     fused rerank — the reference reranks a shard's ANN candidates with
@@ -315,9 +316,17 @@ def hybrid_topk_pruned(
     channels are then re-scored EXACTLY on that union with the same
     integer fusion as hybrid_topk.  C >= k trades recall for cost the
     same way the reference's beam does; equality to the dense ranking
-    on the test corpora is pytest-asserted.  At 10^12 docs the
-    candidate set is Q x 2C rows (broadcastable) and neither channel
-    ever scores the full corpus against every query."""
+    on the test corpora is pytest-asserted.
+
+    The fusion join touches only Q x 2C broadcastable candidate rows —
+    never docs x Q.  Channel candidate cost: text top-C is the
+    broadcast-join BM25 aggregate (only term-matching postings move);
+    the DEFAULT vector top-C is cosine_topk_exact — a shuffle-free
+    per-partition GEMM scan, linear in corpus size — so at 10^12 docs
+    pass `vec_candidates` (query_id, doc_id) from the partition-pruned
+    persistent index instead (ops.ivf_index.ivf_search / pq ADC),
+    trading exactness of the candidate SET for sublinear probe cost,
+    exactly like the reference's shard routing."""
     from ..ops.similarity import cosine_topk_exact
 
     # bm25_topk honors per-query k; candidate generation overrides to C
@@ -328,13 +337,16 @@ def hybrid_topk_pruned(
         ),
         default_k=n_candidates,
     ).select("query_id", "doc_id")
-    cand_vec = cosine_topk_exact(
-        doc_vecs.select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        ),
-        queries.select("query_id", "qvec"),
-        k=n_candidates,
-    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    if vec_candidates is not None:
+        cand_vec = vec_candidates.select("query_id", "doc_id")
+    else:
+        cand_vec = cosine_topk_exact(
+            doc_vecs.select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            queries.select("query_id", "qvec"),
+            k=n_candidates,
+        ).select("query_id", F.col("vec_id").alias("doc_id"))
     cands = cand_text.union(cand_vec).distinct()
 
     qt = query_terms(queries.select("query_id", "text", "k"), default_k)

@@ -101,3 +101,38 @@ def test_serve_hybrid_matches_batch(spark, sf01_dir, hybrid_inputs):
         assert [
             (g["rank"], g["doc_id"], g["score_fixed"]) for g in got
         ] == want, row["query_id"]
+
+
+def test_pruned_with_ivf_candidates(spark, sf01_dir, hybrid_inputs, tmp_path):
+    """The 10^12-doc shape: vector candidates from the persistent
+    partition-pruned IVF index, fused rerank on the union."""
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    h = hybrid_inputs
+    emb = h["doc_vecs"].select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    out = str(tmp_path / "ivf_hybrid")
+    ivf_index.build_ivf_index(
+        spark, emb, out, centroids=deterministic_centroids(emb, 8),
+        spill=1, storage="fp16",
+    )
+    qpd = h["queries"].select("query_id", "qvec").toPandas()
+    # n_probe == n_lists -> exhaustive probe: candidate recall 1.0, so
+    # the fused rerank must equal the dense ranking exactly
+    vec_cands = ivf_index.ivf_search(
+        spark, out, qpd, k=200, n_probe=8
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    dense = hybrid_topk(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"],
+    )
+    pruned = hybrid_topk_pruned(
+        spark, h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"], n_candidates=200,
+        vec_candidates=vec_cands,
+    )
+    assert _rows(pruned) == _rows(dense)
