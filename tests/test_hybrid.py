@@ -136,3 +136,52 @@ def test_pruned_with_ivf_candidates(spark, sf01_dir, hybrid_inputs, tmp_path):
         vec_candidates=vec_cands,
     )
     assert _rows(pruned) == _rows(dense)
+
+
+def test_mlp_score_channel(spark, sf01_dir, hybrid_inputs):
+    """Learned scorer channel (reference meme-rater / score_model.rs):
+    the Spark GEMM forward pass matches numpy exactly, and the fixed
+    prior reranks BM25 results deterministically."""
+    import numpy as np
+
+    from meme_search_engine_spark.ops import score_model
+    from meme_search_engine_spark.query.dataframe_engine import (
+        bm25_topk,
+        bm25_topk_with_prior,
+    )
+
+    h = hybrid_inputs
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    layers = [
+        (rng.normal(size=(64, 16)), rng.normal(size=16)),
+        (rng.normal(size=(16, 1)), rng.normal(size=1)),
+    ]
+    scored = score_model.mlp_score(emb, layers).collect()
+    by_id = {r["vec_id"]: r["model_score"] for r in scored}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    for vid in list(by_id)[:20]:
+        want = score_model.mlp_forward(vecs[vid][None, :], layers)[0]
+        assert abs(by_id[vid] - want) < 1e-9
+
+    priors = score_model.model_prior_fixed(emb, layers, weight=0.1)
+    base = bm25_topk(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"].select("query_id", "text", "k"),
+    ).collect()
+    rated = bm25_topk_with_prior(
+        h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"].select("query_id", "text", "k"), priors,
+    ).collect()
+    assert len(rated) == len(base)
+    # the channel actually moves scores: fixed deltas equal the prior
+    pr = {r["doc_id"]: r["prior_fixed"] for r in priors.collect()}
+    base_by = {(r["query_id"], r["doc_id"]): r["score_fixed"] for r in base}
+    moved = 0
+    for r in rated:
+        key = (r["query_id"], r["doc_id"])
+        if key in base_by:
+            assert r["score_fixed"] == base_by[key] + pr.get(r["doc_id"], 0)
+            if pr.get(r["doc_id"], 0) != 0:
+                moved += 1
+    assert moved > 0
