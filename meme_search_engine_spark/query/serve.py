@@ -70,6 +70,14 @@ class LocalSearcher:
             if bucket is not None:
                 self._frags_by_bucket.setdefault(int(bucket), []).append(frag)
         self._docmeta_dir = os.path.join(index_dir, "docmeta")
+        # per-term posting-block cache: the index dir is immutable
+        # (appends write NEW epoch dirs and a NEW manifest; a searcher
+        # is constructed per manifest), so cached term blocks never
+        # need invalidation — the driver-local analogue of the
+        # reference's mmap-resident index (query_disk_index.rs).
+        # None = term probed and absent (negative cache).
+        self._term_cache: dict[int, pd.DataFrame | None] = {}
+        self._term_cache_cap = 100_000
 
     def _fetch_blocks(self, hashes: list[int]) -> pd.DataFrame | None:
         """Pruned block read for a query's term hashes: bucket pruning
@@ -77,21 +85,39 @@ class LocalSearcher:
         inside each fragment.  df is recomputed as the global per-term
         sum(n_docs) — exact on any epoch layout (epoch-local stored df
         is never trusted; see builder._finalize_epoch)."""
-        buckets = sorted({h % self.cfg["n_buckets"] for h in hashes})
-        filt = pc.field("term_hash").isin(hashes)
-        tables = []
-        for b in buckets:
-            for frag in self._frags_by_bucket.get(b, []):
-                t = frag.to_table(columns=_BLOCK_COLUMNS, filter=filt)
-                if t.num_rows:
-                    tables.append(t)
-        if not tables:
-            return None
-        import pyarrow as pa
+        missing = [h for h in hashes if h not in self._term_cache]
+        if missing:
+            buckets = sorted({h % self.cfg["n_buckets"] for h in missing})
+            filt = pc.field("term_hash").isin(missing)
+            tables = []
+            for b in buckets:
+                for frag in self._frags_by_bucket.get(b, []):
+                    t = frag.to_table(columns=_BLOCK_COLUMNS, filter=filt)
+                    if t.num_rows:
+                        tables.append(t)
+            if len(self._term_cache) + len(missing) > self._term_cache_cap:
+                self._term_cache.clear()
+            for h in missing:
+                self._term_cache[h] = None  # negative until proven present
+            if tables:
+                import pyarrow as pa
 
-        pdf = pa.concat_tables(tables).to_pandas()
-        pdf["df"] = pdf.groupby("term_hash")["n_docs"].transform("sum")
-        return pdf
+                fetched = pa.concat_tables(tables).to_pandas()
+                # df = global per-term sum(n_docs) over every epoch's
+                # blocks; each cached frame holds ALL of its term's rows
+                fetched["df"] = fetched.groupby("term_hash")[
+                    "n_docs"
+                ].transform("sum")
+                for h, g in fetched.groupby("term_hash"):
+                    self._term_cache[int(h)] = g.reset_index(drop=True)
+        frames = [
+            self._term_cache[h]
+            for h in hashes
+            if self._term_cache.get(h) is not None
+        ]
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url from the docmeta sidecar (row-group filtered
