@@ -120,6 +120,30 @@ def main() -> None:
         fmt(pq),
     ))
 
+    # persistent IVF probe: the list filter must be a PARTITION filter
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import deterministic_centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf_dir = tempfile.mkdtemp(prefix="plans_ivf_")
+    ivf_index.build_ivf_index(
+        spark, emb, ivf_dir, spill=1,
+        centroids=deterministic_centroids(emb, 8), storage="fp16",
+    )
+    qpd = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    iv = ivf_index.ivf_search(spark, ivf_dir, qpd, k=10, n_probe=3)
+    sections.append((
+        "persistent IVF ANN probe (fp16 lists)",
+        "want: scan shows PartitionFilters on list_id (the probe reads "
+        "~n_probe/n_lists of the data via layout, not a row filter); "
+        "query rows broadcast; fp16 decode Arrow-batched on only the "
+        "pruned fraction; per-query window top-k over candidates",
+        fmt(iv),
+    ))
+
     # hybrid fusion: cosine channel broadcast-joined, BM25 channel
     # joins only above its aggregate
     from meme_search_engine_spark.gate_pipeline import hybrid_bm25_cosine_topk
