@@ -8,7 +8,6 @@ Arrow batch)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F

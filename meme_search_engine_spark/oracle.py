@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections import Counter
 from dataclasses import dataclass, field
 
-from .common.bm25 import B, K1, bm25_idf, bm25_tf_norm, to_fixed
+from .common.bm25 import K1, bm25_idf, bm25_tf_norm, to_fixed
 from .common.hashing import term_hash
 from .common.textproc import tokenize
 

@@ -357,7 +357,6 @@ class LocalSearcher:
         weight * BM25_term; weights may be negative.  Exhaustive over
         the query terms' postings (block-max pruning is only valid for
         all-positive weights, so the weighted path never prunes)."""
-        import math
 
         import numpy as np
 
