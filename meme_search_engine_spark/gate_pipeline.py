@@ -310,9 +310,11 @@ SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
 FROM ham WHERE hamming <= 16
 """
 
+# denominator clamped at 1e-30 (all-zero vector -> cosine 0, not NaN)
+# to match dataframe_engine._cosine_fixed and serve.search_hybrid
 _SQL_COS = (
-    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
-    "* sqrt(list_dot_product({b}, {b})))"
+    "list_dot_product({a}, {b}) / greatest(sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})), 1e-30)"
 )
 
 _SQL_IVF = f"""
@@ -390,8 +392,8 @@ ORACLES: dict[str, str] = {
         scored AS (
           SELECT q.query_id, v.vec_id,
                  list_dot_product(v.embedding, q.qvec)
-                 / (sqrt(list_dot_product(v.embedding, v.embedding))
-                    * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+                 / greatest(sqrt(list_dot_product(v.embedding, v.embedding))
+                    * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-30) AS cosine
           FROM v CROSS JOIN q
         )
         SELECT query_id,
@@ -486,8 +488,8 @@ def _hybrid_oracle_sql() -> str:
         cosd AS (
           SELECT q.query_id, e.vec_id AS doc_id,
                  CAST(round(list_dot_product(e.embedding, q.qvec)
-                   / (sqrt(list_dot_product(e.embedding, e.embedding))
-                      * sqrt(list_dot_product(q.qvec, q.qvec)))
+                   / greatest(sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-30)
                    * {COSINE_STEPS}, 0) AS BIGINT) AS cos4
           FROM embeddings e CROSS JOIN qv q
         ),

@@ -230,7 +230,10 @@ def _cosine_fixed(vec: str, qvec: str):
             lambda acc, x: acc + x,
         )
     )
-    cos = dot / (norm(vec) * norm(qvec))
+    # clamp the denominator so an all-zero embedding scores cosine 0
+    # (not NaN -> null) — same convention as serve.search_hybrid's
+    # np.maximum(denom, 1e-30) and l2_normalize's zero-row handling
+    cos = dot / F.greatest(norm(vec) * norm(qvec), F.lit(1e-30))
     return F.round(cos * F.lit(float(COSINE_STEPS)), 0).cast("long")
 
 

@@ -179,9 +179,16 @@ def make_handler(
                             },
                         )
                     qvec = [float(x) for x in req["qvec"]]
-                    w_text, w_vec = (
-                        req.get("weights", [3, 1]) + [3, 1]
-                    )[:2]
+                    # per-position defaults: [5] means w_text=5 with the
+                    # DEFAULT w_vec=1 (not w_vec=3)
+                    w_raw = req.get("weights", [])
+                    if not isinstance(w_raw, list) or len(w_raw) > 2:
+                        return self._reply(
+                            400,
+                            {"error": "weights must be a list of <=2 numbers"},
+                        )
+                    w_text = w_raw[0] if len(w_raw) > 0 else 3
+                    w_vec = w_raw[1] if len(w_raw) > 1 else 1
                     matches = searcher.search_hybrid(
                         str(req.get("query", "")),
                         qvec,

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import threading
 
 import pandas as pd
 import pyarrow.dataset as ds
@@ -29,14 +31,12 @@ from .wand import score_query_blocks
 
 def _partition_value(frag, name: str):
     """Extract a hive partition value (e.g. bucket=3) from a fragment's
-    partition expression; None when the key is absent."""
-    try:
-        import re
-
-        m = re.search(rf"{name} == (-?\d+)", str(frag.partition_expression))
-        return int(m.group(1)) if m else None
-    except Exception:
-        return None
+    file PATH (`.../bucket=3/part-...parquet`); None when the key is
+    absent.  Path-derived, not parsed from str(partition_expression) —
+    the expression's repr is not a stable pyarrow API, the hive path
+    layout is ours (builder writes partitionBy("bucket"))."""
+    m = re.search(rf"[\\/]{re.escape(name)}=(-?\d+)[\\/]", str(frag.path))
+    return int(m.group(1)) if m else None
 
 
 _BLOCK_COLUMNS = [
@@ -65,19 +65,30 @@ class LocalSearcher:
         # objects cache their parquet footer after first use, so
         # repeated queries also skip footer re-reads.
         self._frags_by_bucket: dict[int, list] = {}
+        n_frags = 0
         for frag in self._dataset.get_fragments():
+            n_frags += 1
             bucket = _partition_value(frag, "bucket")
             if bucket is not None:
                 self._frags_by_bucket.setdefault(int(bucket), []).append(frag)
+        if n_frags and not self._frags_by_bucket:
+            # fail loudly rather than silently answering every query
+            # with zero results off an unrecognized layout
+            raise ValueError(
+                f"no bucket=N partition key found in any of {n_frags} "
+                f"segment fragments under {index_dir}"
+            )
         self._docmeta_dir = os.path.join(index_dir, "docmeta")
         # per-term posting-block cache: the index dir is immutable
         # (appends write NEW epoch dirs and a NEW manifest; a searcher
         # is constructed per manifest), so cached term blocks never
         # need invalidation — the driver-local analogue of the
         # reference's mmap-resident index (query_disk_index.rs).
-        # None = term probed and absent (negative cache).
+        # None = term probed and absent (negative cache).  Guarded by a
+        # lock: ThreadingHTTPServer handlers call search concurrently.
         self._term_cache: dict[int, pd.DataFrame | None] = {}
         self._term_cache_cap = 100_000
+        self._term_cache_lock = threading.Lock()
 
     def _fetch_blocks(self, hashes: list[int]) -> pd.DataFrame | None:
         """Pruned block read for a query's term hashes: bucket pruning
@@ -85,7 +96,15 @@ class LocalSearcher:
         inside each fragment.  df is recomputed as the global per-term
         sum(n_docs) — exact on any epoch layout (epoch-local stored df
         is never trusted; see builder._finalize_epoch)."""
-        missing = [h for h in hashes if h not in self._term_cache]
+        # snapshot this query's already-cached entries FIRST, so a
+        # capacity eviction below can never drop a term this query
+        # still needs (frames are built from `local`, not the shared
+        # cache); all shared-cache mutation happens under the lock.
+        with self._term_cache_lock:
+            local: dict[int, pd.DataFrame | None] = {
+                h: self._term_cache[h] for h in hashes if h in self._term_cache
+            }
+        missing = [h for h in hashes if h not in local]
         if missing:
             buckets = sorted({h % self.cfg["n_buckets"] for h in missing})
             filt = pc.field("term_hash").isin(missing)
@@ -95,10 +114,9 @@ class LocalSearcher:
                     t = frag.to_table(columns=_BLOCK_COLUMNS, filter=filt)
                     if t.num_rows:
                         tables.append(t)
-            if len(self._term_cache) + len(missing) > self._term_cache_cap:
-                self._term_cache.clear()
-            for h in missing:
-                self._term_cache[h] = None  # negative until proven present
+            fetched_map: dict[int, pd.DataFrame | None] = {
+                h: None for h in missing  # negative until proven present
+            }
             if tables:
                 import pyarrow as pa
 
@@ -109,12 +127,13 @@ class LocalSearcher:
                     "n_docs"
                 ].transform("sum")
                 for h, g in fetched.groupby("term_hash"):
-                    self._term_cache[int(h)] = g.reset_index(drop=True)
-        frames = [
-            self._term_cache[h]
-            for h in hashes
-            if self._term_cache.get(h) is not None
-        ]
+                    fetched_map[int(h)] = g.reset_index(drop=True)
+            local.update(fetched_map)
+            with self._term_cache_lock:
+                if len(self._term_cache) + len(missing) > self._term_cache_cap:
+                    self._term_cache.clear()
+                self._term_cache.update(fetched_map)
+        frames = [local[h] for h in hashes if local.get(h) is not None]
         if not frames:
             return None
         return pd.concat(frames, ignore_index=True)
