@@ -183,24 +183,6 @@ def ann_ivf_topk(spark, sf_dir):
 
 # --------------------------------------------------------------- textstats
 
-def u2_array_except(spark, sf_dir):
-    """U2: set difference on array values (pending-work =
-    out_formats - formats, thumbnailer.py:117) — distinct non-stopword
-    token count per doc."""
-    from .index.build import tokens_col
-
-    stop = ["the", "a", "of", "and", "to", "in", "is", "that"]
-    d = _docs(spark, sf_dir).withColumn("_toks", tokens_col(F.col("text")))
-    return d.select(
-        "doc_id",
-        F.size(
-            F.array_except(
-                F.array_distinct("_toks"), F.array(*[F.lit(s) for s in stop])
-            )
-        ).alias("n_content_terms"),
-    )
-
-
 def ts_quality_scores(spark, sf_dir):
     return textstats.quality_scores(_docs(spark, sf_dir))
 
@@ -441,13 +423,6 @@ ORACLES: dict[str, str] = {
     "ts_fingerprints_md5": """
         SELECT doc_id, md5(text) AS content_md5 FROM documents
     """,
-    "u2_array_except": f"""
-        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-        SELECT doc_id,
-               CAST(len(list_filter(list_distinct(toks),
-                    x -> x NOT IN ({_STOP_EN}))) AS INTEGER) AS n_content_terms
-        FROM d
-    """,
 }
 
 def _hybrid_oracle_sql() -> str:
@@ -527,7 +502,6 @@ _FNS = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_topk": ann_ivf_index_topk,
-    "u2_array_except": u2_array_except,
 }
 
 

@@ -333,14 +333,32 @@ def t5_orderby_limit(spark, sf_dir):
 
 def u1_except(spark, sf_dir):
     """U1: set difference (db - disk GC, main.rs:769-794) — nations with
-    no high-balance BUILDING customer.  ``subtract`` = EXCEPT DISTINCT."""
+    no high-balance BUILDING customer; ``subtract`` = EXCEPT DISTINCT.
+    Also carries U2 (array-valued set difference: pending-work =
+    out_formats - formats, thumbnailer.py:117) as a second column —
+    distinct non-stopword comment-token count via array_except — so one
+    registry entry gates both U ops (keeps the registry <= the driver's
+    50-entry run budget)."""
+    from .index.build import tokens_col
+
+    stop = ["united", "of", "the"]
     na = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     cu = (
         _t(spark, sf_dir, "customer")
         .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
         .select(F.col("c_nationkey").alias("nationkey"))
     )
-    return na.subtract(cu)
+    kept = na.subtract(cu)
+    toks = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.size(
+            F.array_except(
+                F.array_distinct(tokens_col(F.col("n_name"))),
+                F.array(*[F.lit(s) for s in stop]),
+            )
+        ).alias("n_content_terms"),
+    )
+    return kept.join(F.broadcast(toks), "nationkey")
 
 
 def u4_union_distinct(spark, sf_dir):
@@ -595,10 +613,24 @@ ORACLES: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
     """,
     "u1_except": """
-        SELECT n_nationkey AS nationkey FROM nation
-        EXCEPT
-        SELECT c_nationkey AS nationkey FROM customer
-        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        WITH kept AS (
+            SELECT n_nationkey AS nationkey FROM nation
+            EXCEPT
+            SELECT c_nationkey AS nationkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        ),
+        d AS (
+            SELECT n_nationkey AS nationkey,
+                   list_filter(regexp_split_to_array(
+                       lower(strip_accents(n_name)), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+            FROM nation
+        )
+        SELECT k.nationkey,
+               CAST(len(list_filter(list_distinct(d.toks),
+                    x -> x NOT IN ('united','of','the')))
+                    AS INTEGER) AS n_content_terms
+        FROM kept k JOIN d ON d.nationkey = k.nationkey
     """,
     "u4_union_distinct": """
         SELECT o_orderkey FROM orders WHERE o_totalprice > 400000

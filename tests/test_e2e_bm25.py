@@ -118,3 +118,39 @@ def test_rank_identity_partitioning_invariance(spark, pages_df, oracle):
         )
 
     assert run(4) == run(17)
+
+
+def test_topk_dedup_oracle(spark, sf001_dir):
+    """q_bm25_topk_dedup vs its DuckDB oracle — this entry is NOT in
+    the driver registry (capped at 50; coverage redundant with
+    dd_exact_groups + bm25_topk) so it keeps its hash check here."""
+    import duckdb
+
+    from meme_search_engine_spark.gate import (
+        bm25_topk_dedup_oracle_sql,
+        q_bm25_topk_dedup,
+    )
+
+    sdf = q_bm25_topk_dedup(spark, sf001_dir)
+    srows = sorted(tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect())
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf001_dir}/{t}.parquet'"
+        )
+    res = con.execute(bm25_topk_dedup_oracle_sql())
+    ocols = [d[0] for d in res.description]
+    order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    orows = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    # float score column: compare at the gate's rounding
+    def norm(rows):
+        return [
+            tuple(f"{v:.9g}" if isinstance(v, float) else str(v) for v in r)
+            for r in rows
+        ]
+
+    assert norm(srows) == norm(orows)
