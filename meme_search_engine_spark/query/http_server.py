@@ -20,8 +20,9 @@ GET /presets lists saved presets; PUT semantics via
 Hybrid text+vector queries (the reference's mixed text/image mode):
     {"query": "free text", "qvec": [f32...], "weights": [3, 1],
      "top_k": 10}
-served when the server is constructed with embeddings_path; raw image
-bytes still 400 (embed client-side, pass qvec).
+served when the server is constructed with embeddings_path (exact
+rerank source) AND ivf_dir (partition-pruned candidate index); raw
+image bytes still 400 (embed client-side, pass qvec).
 """
 
 from __future__ import annotations
@@ -115,6 +116,7 @@ def make_handler(
     presets: PresetStore,
     embeddings_path: str | None = None,
     metrics: Metrics | None = None,
+    ivf_dir: str | None = None,
 ):
     metrics = metrics or Metrics()
     class Handler(BaseHTTPRequestHandler):
@@ -170,12 +172,13 @@ def make_handler(
                 if "qvec" in req:
                     # hybrid text+vector query — the reference's mixed
                     # text/image channels (query_disk_index.rs:463-527)
-                    if embeddings_path is None:
+                    if embeddings_path is None or ivf_dir is None:
                         return self._reply(
                             400,
                             {
                                 "error": "server started without an "
-                                "embeddings table; hybrid queries disabled"
+                                "embeddings table + IVF index; hybrid "
+                                "queries disabled"
                             },
                         )
                     qvec = [float(x) for x in req["qvec"]]
@@ -197,6 +200,7 @@ def make_handler(
                         w_text=int(w_text),
                         w_vec=int(w_vec),
                         with_urls=True,
+                        ivf_dir=ivf_dir,
                     )
                 elif "preset" in req:
                     terms = presets.get(str(req["preset"]))
@@ -257,12 +261,15 @@ class SearchServer:
         host: str = "127.0.0.1",
         port: int = 0,
         embeddings_path: str | None = None,
+        ivf_dir: str | None = None,
     ):
         self.searcher = LocalSearcher(index_dir)
         self.presets = PresetStore(index_dir)
         self._httpd = ThreadingHTTPServer(
             (host, port),
-            make_handler(self.searcher, self.presets, embeddings_path),
+            make_handler(
+                self.searcher, self.presets, embeddings_path, ivf_dir=ivf_dir
+            ),
         )
         self._thread: threading.Thread | None = None
 
@@ -291,8 +298,15 @@ def main() -> None:  # pragma: no cover - manual entry point
     ap.add_argument("--index", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--embeddings", default=None,
+                    help="embedding table (exact-rerank source)")
+    ap.add_argument("--ivf", default=None,
+                    help="persistent IVF index dir (hybrid candidates)")
     args = ap.parse_args()
-    server = SearchServer(args.index, args.host, args.port)
+    server = SearchServer(
+        args.index, args.host, args.port,
+        embeddings_path=args.embeddings, ivf_dir=args.ivf,
+    )
     print(f"serving BM25 queries on {args.host}:{server.port}")
     server.start()
     try:

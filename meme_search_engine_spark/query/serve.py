@@ -44,6 +44,133 @@ _BLOCK_COLUMNS = [
     "doc_ids", "tfs", "dls", "block_max_tfnorm", "max_tf", "min_dl",
 ]
 
+_IVF_STORAGE_COLS = {
+    "fp32": "embedding",
+    "fp16": "embedding_fp16",
+    "int8": "embedding_int8",
+    "pq": "pq_code",
+}
+
+
+class LocalIVF:
+    """Driver-local probe over a persistent IVF index (ops/ivf_index
+    layout) — the vector-side analogue of LocalSearcher's pruned
+    posting-fragment reads.  Per query, only the n_probe/n_lists
+    partition-pruned fraction of the index is read (pyarrow fragments
+    resolved once per list_id; footers cached after first use).
+    Nothing data-sized is held driver-side: the resident state is the
+    centroid matrix + fragment map, both O(n_lists).
+
+    Reference analogue: shard routing then within-shard search
+    (query_disk_index.rs:447-450); candidate generation only — exact
+    scores come from the rerank against the source embedding table."""
+
+    def __init__(self, ivf_dir: str):
+        import numpy as np
+
+        from ..common.vecmath import l2_normalize
+        from ..ops.ivf_index import load_ivf_manifest
+
+        self.manifest = load_ivf_manifest(ivf_dir)
+        self.storage = self.manifest.get("storage", "fp32")
+        if self.storage not in _IVF_STORAGE_COLS:
+            raise ValueError(f"unknown IVF storage {self.storage!r}")
+        cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
+        self._cn = l2_normalize(cents)
+        self._ds = ds.dataset(
+            os.path.join(ivf_dir, "lists"),
+            format="parquet",
+            partitioning="hive",
+        )
+        self._frags_by_list: dict[int, list] = {}
+        n_frags = 0
+        for frag in self._ds.get_fragments():
+            n_frags += 1
+            lid = _partition_value(frag, "list_id")
+            if lid is not None:
+                self._frags_by_list.setdefault(int(lid), []).append(frag)
+        if n_frags and not self._frags_by_list:
+            raise ValueError(
+                f"no list_id=N partition key found in any of {n_frags} "
+                f"IVF fragments under {ivf_dir}"
+            )
+
+    def candidates(
+        self, qvec, k: int = 50, n_probe: int = 8
+    ) -> list[int]:
+        """Top-k candidate vec_ids from the probed lists, ranked by the
+        storage-tier score (exact cosine for fp32, dequantized cosine
+        for fp16/int8, ADC estimate for pq), ties on vec_id; duplicate
+        rows (spill>1 / append retries) collapse to max score — the
+        same invariances as the distributed ivf_search."""
+        import numpy as np
+
+        import pyarrow as pa
+
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        probe = np.argsort(-(self._cn @ qn), kind="stable")[:n_probe]
+        col = _IVF_STORAGE_COLS[self.storage]
+        tables = []
+        for lid in probe:
+            for frag in self._frags_by_list.get(int(lid), []):
+                t = frag.to_table(columns=["vec_id", col])
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            return []
+        t = pa.concat_tables(tables)
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        if self.storage == "pq":
+            from ..ops.pq import adc_tables, score_codes
+
+            books = np.asarray(
+                self.manifest["pq_codebooks"], dtype=np.float64
+            )
+            rot = (
+                np.asarray(self.manifest["pq_rotation"], dtype=np.float64)
+                if "pq_rotation" in self.manifest
+                else None
+            )
+            m = books.shape[0]
+            codes = np.frombuffer(
+                b"".join(t.column(col).to_pylist()), dtype=np.uint8
+            ).reshape(len(ids), m)
+            luts = adc_tables(books, q[None, :], rot)
+            score = score_codes(
+                codes, luts, np.zeros(len(ids), dtype=np.int64)
+            )
+        else:
+            if self.storage == "fp16":
+                bufs = t.column(col).to_pylist()
+                vm = np.frombuffer(b"".join(bufs), dtype="<f2").astype(
+                    np.float64
+                ).reshape(len(ids), -1)
+            elif self.storage == "int8":
+                lo = np.asarray(self.manifest["int8_smin"], dtype=np.float64)
+                step = (
+                    np.asarray(self.manifest["int8_smax"], dtype=np.float64)
+                    - lo
+                ) / 255.0
+                qcodes = np.frombuffer(
+                    b"".join(t.column(col).to_pylist()), dtype=np.uint8
+                ).reshape(len(ids), len(lo)).astype(np.float64)
+                # dequantize through float32 like unpack_embeddings_int8
+                vm = (lo + qcodes * step).astype(np.float32).astype(
+                    np.float64
+                )
+            else:
+                vm = np.asarray(t.column(col).to_pylist(), dtype=np.float64)
+            denom = np.linalg.norm(vm, axis=1) * float(np.linalg.norm(q))
+            score = (vm @ q) / np.maximum(denom, 1e-30)
+        # collapse duplicates to max score, then top-k by (-score, id)
+        order = np.lexsort((ids, -score))
+        ids, score = ids[order], score[order]
+        first = np.unique(ids, return_index=True)[1]
+        ids, score = ids[first], score[first]
+        top = np.lexsort((ids, -score))[:k]
+        return [int(i) for i in ids[top]]
+
 
 class LocalSearcher:
     """Low-latency top-k BM25 search over a segments directory."""
@@ -229,33 +356,11 @@ class LocalSearcher:
         terms' postings (same tradeoff as search_weighted), then the
         docmeta prior is added before ranking.  Rank-identical to
         bm25_topk_with_prior (pytest)."""
-        import numpy as np
+        from ..common.bm25 import FIXED_POINT_SCALE
 
-        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
-        from .wand import _decode_block
-
-        hashes = sorted({term_hash(t) for t in tokenize(text)})
-        if not hashes:
+        acc = self._bm25_fixed_all(text)
+        if not acc:
             return []
-        pdf = self._fetch_blocks(hashes)
-        if pdf is None:
-            return []
-        k1, b = self.cfg["k1"], self.cfg["b"]
-        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
-        acc: dict[int, int] = {}
-        for th, g in pdf.groupby("term_hash"):
-            idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
-            for r in g.itertuples(index=False):
-                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
-                tf_f = tfs.astype(np.float64)
-                tf_norm = tf_f / (
-                    tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
-                )
-                fixed = np.floor(
-                    (idf * (k1 + 1.0) * tf_norm) * float(FIXED_POINT_SCALE) + 0.5
-                ).astype(np.int64)
-                for doc, fx in zip(d.tolist(), fixed.tolist()):
-                    acc[doc] = acc.get(doc, 0) + fx
         priors = self._priors_for(list(acc), w_distinct, w_stopword)
         for doc in acc:
             acc[doc] += priors.get(doc, 0)
@@ -271,25 +376,72 @@ class LocalSearcher:
         ]
         return self._attach_urls(results) if with_urls else results
 
-    _EMB_CACHE: dict[str, tuple] = {}
+    _IVF_CACHE: dict[str, "LocalIVF"] = {}
+    _EMB_DS_CACHE: dict[str, ds.Dataset] = {}
 
-    def _embeddings(self, path: str):
-        """(vec_ids int64[], unit_rows float64[n,d]) — loaded once and
-        cached per path (the reference mmaps its vector file once per
-        server process, query_disk_index.rs)."""
-        cache = LocalSearcher._EMB_CACHE
-        if path not in cache:
-            import numpy as np
-            import pyarrow.dataset as pads
+    def _ivf(self, ivf_dir: str) -> "LocalIVF":
+        cache = LocalSearcher._IVF_CACHE
+        if ivf_dir not in cache:
+            cache[ivf_dir] = LocalIVF(ivf_dir)
+        return cache[ivf_dir]
 
-            t = pads.dataset(path, format="parquet").to_table(
-                columns=["vec_id", "embedding"]
+    def _vectors_for(
+        self, embeddings_path: str, ids: list[int]
+    ) -> tuple:
+        """(found_ids int64[], rows float64[n,d]) — POINT lookup of the
+        candidates' exact vectors via a pyarrow row filter on the
+        source embedding table (row-group pruned; never loads the
+        matrix).  The dataset handle is cached per path (footer reads),
+        the vectors are not."""
+        import numpy as np
+
+        cache = LocalSearcher._EMB_DS_CACHE
+        if embeddings_path not in cache:
+            cache[embeddings_path] = ds.dataset(
+                embeddings_path, format="parquet"
             )
-            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-            order = np.argsort(ids, kind="stable")
-            cache[path] = (ids[order], m[order])
-        return cache[path]
+        t = cache[embeddings_path].to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(ids),
+        )
+        found = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        return found, m
+
+    def _bm25_fixed_all(self, text: str) -> dict[int, int]:
+        """doc_id -> exact fixed-point BM25 over the query's terms
+        (every posting of every query term; the same accumulation the
+        weighted/quality paths use)."""
+        import numpy as np
+
+        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
+        from .wand import _decode_block
+
+        hashes = sorted({term_hash(t) for t in tokenize(text)})
+        acc: dict[int, int] = {}
+        if not hashes:
+            return acc
+        pdf = self._fetch_blocks(hashes)
+        if pdf is None:
+            return acc
+        k1, b = self.cfg["k1"], self.cfg["b"]
+        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+        for th, g in pdf.groupby("term_hash"):
+            idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
+            for r in g.itertuples(index=False):
+                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
+                tf_f = tfs.astype(np.float64)
+                tf_norm = tf_f / (
+                    tf_f
+                    + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+                )
+                fixed = np.floor(
+                    (idf * (k1 + 1.0) * tf_norm) * float(FIXED_POINT_SCALE)
+                    + 0.5
+                ).astype(np.int64)
+                for doc, fx in zip(d.tolist(), fixed.tolist()):
+                    acc[doc] = acc.get(doc, 0) + fx
+        return acc
 
     def search_hybrid(
         self,
@@ -300,20 +452,44 @@ class LocalSearcher:
         w_text: int = 3,
         w_vec: int = 1,
         with_urls: bool = False,
+        *,
+        ivf_dir: str,
+        n_candidates: int = 50,
+        n_probe: int = 8,
     ) -> list[dict]:
-        """Fused text+vector serving — the reference's online hybrid
-        query server (text and image channels merged per query,
-        query_disk_index.rs:463-527).  Rank-identical to the batch
-        hybrid_topk: same integer fusion w_text*bm25_fixed +
-        w_vec*cos4*COSINE_STEP_FIXED over the embedding universe
-        (pytest-verified)."""
+        """Fused text+vector serving at index scale — candidate
+        generation then exact rerank, the reference's online shape
+        (ANN candidates reranked with full score channels,
+        query_disk_index.rs:486-527).
+
+        Candidates = (BM25 top-C from the pruned postings) ∪ (IVF
+        top-C from the partition-pruned persistent index); the union is
+        reranked EXACTLY: per-candidate vectors point-looked-up from
+        the source embedding table (row-group-filtered pyarrow read —
+        the full matrix is never loaded), fused in the same integer
+        space as the batch engine.  score_fixed-identical to
+        hybrid_topk_pruned(vec_candidates=ivf_search(...)) with the
+        same C/n_probe (pytest-verified).  Candidates with no row in
+        the embedding table drop out, matching the batch inner join."""
         import numpy as np
 
-        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
+        from ..common.bm25 import FIXED_POINT_SCALE
         from .dataframe_engine import COSINE_STEP_FIXED, COSINE_STEPS
-        from .wand import _decode_block
 
-        ids, m = self._embeddings(embeddings_path)
+        ivf = self._ivf(ivf_dir)
+        vec_ids = ivf.candidates(qvec, k=n_candidates, n_probe=n_probe)
+
+        acc = self._bm25_fixed_all(text)
+        text_ids = [
+            doc
+            for doc, _ in sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :n_candidates
+            ]
+        ]
+        cand_ids = sorted(set(vec_ids) | set(text_ids))
+        if not cand_ids:
+            return []
+        ids, m = self._vectors_for(embeddings_path, cand_ids)
         if not len(ids):
             return []
         q = np.asarray(qvec, dtype=np.float64)
@@ -323,36 +499,11 @@ class LocalSearcher:
         # HALF_UP away from zero — matches Spark/DuckDB round(x, 0)
         cos4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         score = w_vec * cos4 * COSINE_STEP_FIXED
-
-        hashes = sorted({term_hash(t) for t in tokenize(text)})
-        acc: dict[int, int] = {}
-        if hashes:
-            pdf = self._fetch_blocks(hashes)
-            if pdf is not None:
-                k1, b = self.cfg["k1"], self.cfg["b"]
-                n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
-                for th, g in pdf.groupby("term_hash"):
-                    idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
-                    for r in g.itertuples(index=False):
-                        d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
-                        tf_f = tfs.astype(np.float64)
-                        tf_norm = tf_f / (
-                            tf_f
-                            + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
-                        )
-                        fixed = np.floor(
-                            (idf * (k1 + 1.0) * tf_norm)
-                            * float(FIXED_POINT_SCALE)
-                            + 0.5
-                        ).astype(np.int64)
-                        for doc, fx in zip(d.tolist(), fixed.tolist()):
-                            acc[doc] = acc.get(doc, 0) + fx
-        if acc:
-            pos = np.searchsorted(ids, np.fromiter(acc, dtype=np.int64))
-            vals = np.fromiter(acc.values(), dtype=np.int64)
-            keys = np.fromiter(acc, dtype=np.int64)
-            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == keys)
-            score[pos[ok]] += w_text * vals[ok]
+        score += np.fromiter(
+            (w_text * acc.get(int(i), 0) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
 
         kk = min(k, len(ids))
         order = np.lexsort((ids, -score))[:kk]

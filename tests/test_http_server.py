@@ -51,7 +51,21 @@ def server(spark, tmp_path_factory):
         ),
         emb_path,
     )
-    srv = SearchServer(idx, embeddings_path=emb_path).start()
+    # persistent IVF index over the sidecar — the serve-side hybrid's
+    # candidate source (n_lists == default n_probe -> full recall)
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    emb_df = spark.read.parquet(emb_path)
+    ivf_dir = str(base / "ivf")
+    ivf_index.build_ivf_index(
+        spark, emb_df, ivf_dir,
+        centroids=deterministic_centroids(emb_df, 8),
+        spill=1, storage="fp32",
+    )
+    srv = SearchServer(idx, embeddings_path=emb_path, ivf_dir=ivf_dir).start()
     yield srv, OracleIndex.build(rows)
     srv.stop()
 
@@ -190,7 +204,7 @@ def test_hybrid_request(server):
     assert code == 200
     assert len(resp["matches"]) == 7
     direct = srv.searcher.search_hybrid(
-        "term0001", qvec, _emb_path_of(srv), k=7
+        "term0001", qvec, _emb_path_of(srv), k=7, ivf_dir=_ivf_dir_of(srv)
     )
     assert [
         (m["doc_id"], m["score_fixed"]) for m in resp["matches"]
@@ -211,6 +225,12 @@ def _emb_path_of(srv):
     return os.path.join(
         os.path.dirname(_index_dir_of(srv)), "embeddings.parquet"
     )
+
+
+def _ivf_dir_of(srv):
+    import os
+
+    return os.path.join(os.path.dirname(_index_dir_of(srv)), "ivf")
 
 
 def test_metrics_endpoint(server):

@@ -74,33 +74,66 @@ def test_channels_both_contribute(spark, hybrid_inputs):
         assert r["score_fixed"] % COSINE_STEP_FIXED == 0
 
 
-def test_serve_hybrid_matches_batch(spark, sf01_dir, hybrid_inputs):
-    """LocalSearcher.search_hybrid reproduces the batch dense fusion
-    rank- AND score_fixed-identically per gate query."""
+def test_serve_hybrid_matches_batch(spark, sf01_dir, hybrid_inputs, tmp_path):
+    """LocalSearcher.search_hybrid (IVF-candidate union + exact point-
+    lookup rerank — no full-matrix load) reproduces the batch
+    hybrid_topk_pruned(vec_candidates=ivf_search) rank- AND
+    score_fixed-identically per gate query, and with the full-recall
+    probe config it equals the dense fused ranking too."""
     from meme_search_engine_spark.gate import _built_index
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
     from meme_search_engine_spark.query.serve import LocalSearcher
 
     h = hybrid_inputs
+    emb = h["doc_vecs"].select(F.col("doc_id").alias("vec_id"), "embedding")
+    out = str(tmp_path / "ivf_serve")
+    ivf_index.build_ivf_index(
+        spark, emb, out, centroids=deterministic_centroids(emb, 8),
+        spill=1, storage="fp32",
+    )
+    C, NP = 200, 8
+    qpd = h["queries"].select("query_id", "qvec").toPandas()
+    vec_cands = ivf_index.ivf_search(
+        spark, out, qpd, k=C, n_probe=NP
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    batch = hybrid_topk_pruned(
+        spark, h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        h["queries"], h["doc_vecs"], n_candidates=C,
+        vec_candidates=vec_cands,
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_fixed"])
+        )
     dense = hybrid_topk(
         h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
         h["queries"], h["doc_vecs"],
     ).collect()
-    by_qid = {}
+    dense_by_qid = {}
     for r in dense:
-        by_qid.setdefault(r["query_id"], []).append(
+        dense_by_qid.setdefault(r["query_id"], []).append(
             (r["rank"], r["doc_id"], r["score_fixed"])
         )
     searcher = LocalSearcher(_built_index(spark, sf01_dir))
-    qpd = h["queries"].toPandas()
-    for _, row in qpd.iterrows():
+    # the dense-matrix cache is gone from the serve path entirely
+    assert not hasattr(LocalSearcher, "_EMB_CACHE")
+    assert not hasattr(searcher, "_embeddings")
+    qall = h["queries"].toPandas()
+    for _, row in qall.iterrows():
         got = searcher.search_hybrid(
             row["text"], row["qvec"],
             f"{sf01_dir}/embeddings.parquet", k=int(row["k"]),
+            ivf_dir=out, n_candidates=C, n_probe=NP,
         )
-        want = sorted(by_qid[row["query_id"]])
-        assert [
-            (g["rank"], g["doc_id"], g["score_fixed"]) for g in got
-        ] == want, row["query_id"]
+        got_rows = [(g["rank"], g["doc_id"], g["score_fixed"]) for g in got]
+        assert got_rows == sorted(by_qid[row["query_id"]]), row["query_id"]
+        assert got_rows == sorted(dense_by_qid[row["query_id"]]), (
+            row["query_id"]
+        )
 
 
 def test_pruned_with_ivf_candidates(spark, sf01_dir, hybrid_inputs, tmp_path):
