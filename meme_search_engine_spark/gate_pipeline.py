@@ -164,9 +164,54 @@ def ann_ivf_index_topk(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 8
+
+
+def pq_adc_topk_gate(spark, sf_dir):
+    """PQ encode + ADC top-k with FIXED data-derived codebooks — the
+    storage tier the reference's DiskANN shards use (64-byte codes +
+    per-query lookup tables, diskann/aopq_train.py).  Codebook (j, k)
+    = subspace j of the l2-normalized embedding of vec_id 3+k — fully
+    deterministic and SQL-expressible, so DuckDB replays the ENTIRE
+    path: normalize -> per-subspace argmin-L2 assignment (uint8 code)
+    -> ADC lookup-table scoring -> top-k.  The trained-codebook
+    production path (train_pq k-means) shares every plan shape and is
+    recall-tested in tests/test_pq.py."""
+    import numpy as np
+
+    from .common.vecmath import l2_normalize
+    from .ops.pq import pq_adc_topk, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    cb = (
+        emb.filter(
+            (F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + _PQ_KSUB)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = l2_normalize(np.array([r["embedding"] for r in cb], dtype=np.float64))
+    books = np.stack(
+        [x[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+    )
+    codes = pq_encode(emb.filter(F.col("vec_id") >= 3), books)
+    qpd = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    out = pq_adc_topk(codes, books, qpd, k=10)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate top-k (rows-only gate; recall vs brute
-    force pytest-verified)."""
+    """IVF-bucketed approximate top-k.  NOT registered: its coverage is
+    redundant with ann_ivf_index_topk (same deterministic-centroid
+    config, same _SQL_IVF oracle, plus the persistent layout) and the
+    registry is capped at the driver's 50-entry run budget; recall and
+    oracle equivalence stay pytest-verified (tests/test_ops.py)."""
     emb = _emb(spark, sf_dir)
     qpd = (
         emb.filter(F.col("vec_id") < 3)
@@ -299,6 +344,52 @@ _SQL_COS = (
     "* sqrt(list_dot_product({b}, {b})), 1e-30)"
 )
 
+_SQL_PQ_ADC = """
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         greatest(sqrt(list_dot_product(embedding, embedding)), 1e-30) AS n
+  FROM embeddings
+),
+normv AS (
+  SELECT vec_id, list_transform(embedding, x -> x / n) AS v FROM nrm
+),
+cw AS (  -- codeword (j, k) = subspace j of codebook row k
+  SELECT t.j AS j, n.vec_id - 3 AS k,
+         list_slice(n.v, t.j*16+1, t.j*16+16) AS c
+  FROM normv n, range(0, 4) t(j)
+  WHERE n.vec_id >= 3 AND n.vec_id < 11
+),
+sub AS (
+  SELECT n.vec_id, t.j AS j, list_slice(n.v, t.j*16+1, t.j*16+16) AS s
+  FROM normv n, range(0, 4) t(j)
+  WHERE n.vec_id >= 3
+),
+enc AS (  -- argmin_k (-2 s.c + c.c): np.argmin tie-break = first k
+  SELECT vec_id, j, k FROM (
+    SELECT sub.vec_id, sub.j, cw.k,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+        (-2 * list_dot_product(sub.s, cw.c) + list_dot_product(cw.c, cw.c))
+        ASC, cw.k ASC) AS rn
+    FROM sub JOIN cw ON cw.j = sub.j)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM normv WHERE vec_id < 3),
+scored AS (  -- ADC: sum_j <q_sub_j, codeword(j, code_j)>
+  SELECT q.query_id, e.vec_id,
+         sum(list_dot_product(list_slice(q.qv, e.j*16+1, e.j*16+16), cw.c))
+           AS cosine
+  FROM enc e JOIN cw ON cw.j = e.j AND cw.k = e.k
+  CROSS JOIN q
+  GROUP BY q.query_id, e.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+       vec_id, round(cosine, 4) AS cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
 _SQL_IVF = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
 q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -339,8 +430,8 @@ FROM scored QUALIFY rank <= 10
 ORACLES: dict[str, str] = {
     "dd_minhash_candidates": _SQL_MINHASH,
     "dd_simhash_pairs": _SQL_SIMHASH,
-    "ann_ivf_topk": _SQL_IVF,
     "ann_ivf_index_topk": _SQL_IVF,
+    "pq_adc_topk": _SQL_PQ_ADC,
     "dd_exact_groups": """
         SELECT md5(text) AS fingerprint, count(*) AS n_dups,
                min(doc_id) AS keep_doc_id
@@ -500,8 +591,8 @@ _FNS = {
     "dd_minhash_candidates": dd_minhash_candidates,
     "dd_simhash_pairs": dd_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_topk": ann_ivf_index_topk,
+    "pq_adc_topk": pq_adc_topk_gate,
 }
 
 

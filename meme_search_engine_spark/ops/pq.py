@@ -266,7 +266,13 @@ def pq_adc_topk(
             for j in range(m):
                 scores += luts[:, j, codes[:, j]].T
             kk = min(k, scores.shape[0])
-            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            # tie-exact partial top-k: equal PQ codes score EQUAL, so
+            # boundary ties are the common case here, and argpartition
+            # would keep an arbitrary one (nondeterministic under
+            # repartitioning, wrong vs the vec_id tie-break)
+            from .similarity import partial_topk_indices
+
+            idx = partial_topk_indices(scores, vec_ids, kk)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, kk),

@@ -54,6 +54,33 @@ def cosine_topk_exact(
     )
 
 
+def partial_topk_indices(
+    scores: np.ndarray, vec_ids: np.ndarray, kk: int
+) -> np.ndarray:
+    """Column-wise top-kk row indices of ``scores`` (B, Q) honoring the
+    GLOBAL tie-break (score desc, vec_id asc) at the k-boundary: ties
+    at the threshold keep the smallest vec_ids, so every partition
+    emits a superset of its contribution to the exact global top-k.
+    A plain argpartition keeps an ARBITRARY tied element — wrong the
+    moment scores tie exactly (duplicate vectors, or PQ codes, where
+    equal codes always score equal).  O(B) per query via a threshold
+    partition, not a full sort."""
+    n, q = scores.shape
+    idx = np.empty((kk, q), dtype=np.int64)
+    if kk >= n:
+        idx[:] = np.arange(n)[:, None]
+        return idx
+    for qi in range(q):
+        sc = scores[:, qi]
+        thr = np.partition(sc, n - kk)[n - kk]
+        above = np.flatnonzero(sc > thr)
+        need = kk - len(above)
+        tied = np.flatnonzero(sc == thr)
+        tied = tied[np.argsort(vec_ids[tied], kind="stable")[:need]]
+        idx[:, qi] = np.concatenate([above, tied])
+    return idx
+
+
 def cosine_topk_gemm(
     embeddings: DataFrame, queries_pd: pd.DataFrame, k: int = 10
 ) -> DataFrame:
@@ -75,8 +102,9 @@ def cosine_topk_gemm(
             sims = vm @ qm.T  # (B, Q)
             vec_ids = pdf["vec_id"].to_numpy(np.int64)
             kk = min(k, sims.shape[0])
-            # per-batch partial top-k per query
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            # per-batch partial top-k per query (tie-exact at the
+            # boundary — see partial_topk_indices)
+            idx = partial_topk_indices(sims, vec_ids, kk)
             out = {
                 "query_id": np.repeat(qids, kk),
                 "vec_id": vec_ids[idx].T.ravel(),

@@ -280,3 +280,68 @@ def test_ivf_double_append_results_invariant(spark, emb_df, tmp_path):
     ivf_index.append_ivf_index(spark, new, out)  # retry duplicates rows
     twice = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
     assert once.values.tolist() == twice.values.tolist()
+
+
+def test_partial_topk_tie_exact_under_repartitioning(spark, emb_df):
+    """Exact-tied scores at the k boundary (duplicate vectors / equal
+    PQ codes) must resolve to the smallest vec_ids — the per-partition
+    partial top-k has to keep boundary ties, not an
+    argpartition-arbitrary subset.  ADC scores are bitwise
+    deterministic (fixed-order LUT sums), so the PQ ranking must be
+    partitioning-invariant; the GEMM path is checked in-partition
+    (cross-partition float dots are not bitwise stable — BLAS blocking
+    differs with batch shape — which the global vec_id tie-break
+    cannot repair; that caveat is inherent to float scoring)."""
+    import pandas as pd
+
+    from meme_search_engine_spark.ops.similarity import (
+        partial_topk_indices,
+    )
+
+    # unit: boundary ties keep the smallest vec_ids
+    scores = np.array(
+        [[1.0], [0.5], [0.5], [0.5], [0.5], [0.2]], dtype=np.float64
+    )
+    vec_ids = np.array([7, 40, 12, 99, 3, 1], dtype=np.int64)
+    idx = partial_topk_indices(scores, vec_ids, 3)
+    assert sorted(vec_ids[idx[:, 0]].tolist()) == [3, 7, 12]
+
+    # 40 distinct vectors + 60 copies of one vector => massive ties
+    base = emb_df.filter(F.col("vec_id") < 40).toPandas()
+    dup_vec = base.iloc[0]["embedding"]
+    dup = pd.DataFrame(
+        {"vec_id": range(1000, 1060), "embedding": [dup_vec] * 60}
+    )
+    pdf = pd.concat([base[["vec_id", "embedding"]], dup], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    qpd = _queries(emb_df, 2)
+
+    # GEMM, one partition (bitwise-stable scores): the 61-way tied
+    # block at cosine 1.0 for query 0 must fill ranks with ascending
+    # vec_ids, smallest first
+    out = similarity.cosine_topk_gemm(df.repartition(1), qpd, k=50)
+    q0 = sorted(
+        (r["rank"], r["vec_id"])
+        for r in out.collect()
+        if r["query_id"] == 0 and (r["vec_id"] == 0 or r["vec_id"] >= 1000)
+    )
+    tied_ids = [v for _, v in q0]
+    assert tied_ids == sorted(tied_ids)
+    assert tied_ids[0] == 0 and 1000 in tied_ids
+
+    # PQ/ADC: equal codes score bitwise-equal everywhere ->
+    # partitioning-invariant ranking including ties
+    books = pq.train_pq(emb_df, m=4, ksub=16, sample_size=200)
+    ra = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.pq_adc_topk(
+            pq.pq_encode(df.repartition(3), books), books, qpd, k=50
+        ).collect()
+    )
+    rb = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.pq_adc_topk(
+            pq.pq_encode(df.repartition(11), books), books, qpd, k=50
+        ).collect()
+    )
+    assert ra == rb
