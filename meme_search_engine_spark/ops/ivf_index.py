@@ -145,7 +145,8 @@ def append_ivf_index(
     results are INVARIANT under duplication: ivf_search collapses
     (query_id, vec_id) with max(cosine) (the same dedup the spill>1
     multi-assignment needs), and duplicates score identically
-    (pytest-asserted).  An explicit rewrite dedups storage."""
+    (pytest-asserted).  compact_ivf_index is the explicit rewrite
+    that dedups storage."""
     manifest = load_ivf_manifest(out_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     assigned = ivf_assign(new_embeddings, cents, int(manifest["spill"]))
@@ -181,6 +182,37 @@ def append_ivf_index(
         .mode("append")
         .parquet(os.path.join(out_dir, "lists"))
     )
+    return manifest
+
+
+def compact_ivf_index(spark: SparkSession, out_dir: str) -> dict:
+    """Explicit maintenance rewrite — dedup storage after crash-retried
+    appends (append_ivf_index documents that a retried append may leave
+    duplicate (vec_id, list_id) rows; search results are invariant
+    under duplication, bytes are not).  Keeps ONE row per
+    (list_id, vec_id) — encode is deterministic per storage tier, so
+    duplicate rows are byte-identical and any survivor is the right
+    one.  Swap is rename-atomic per dir, mirroring the text index's
+    compact_index (index/builder.py)."""
+    import shutil
+
+    manifest = load_ivf_manifest(out_dir)
+    lists_dir = os.path.join(out_dir, "lists")
+    tmp = os.path.join(out_dir, "lists.tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(lists_dir)
+        .dropDuplicates(["list_id", "vec_id"])
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = os.path.join(out_dir, "lists.old")
+    os.rename(lists_dir, old)
+    os.rename(tmp, lists_dir)
+    shutil.rmtree(old)
     return manifest
 
 

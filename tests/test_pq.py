@@ -345,3 +345,45 @@ def test_partial_topk_tie_exact_under_repartitioning(spark, emb_df):
         ).collect()
     )
     assert ra == rb
+
+
+def test_compact_ivf_index_dedups_storage(spark, emb_df, tmp_path):
+    """After a duplicated (crash-retried) append: compaction shrinks
+    storage to the deduped row count, and search is identical before
+    and after."""
+    import os
+
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    def nbytes(d):
+        total = 0
+        for root, _, files in os.walk(os.path.join(d, "lists")):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    old = emb_df.filter(F.col("vec_id") < 400)
+    new = emb_df.filter(F.col("vec_id") >= 400)
+    out = str(tmp_path / "ivf_compact")
+    ivf_index.build_ivf_index(
+        spark, old, out, spill=2,
+        centroids=deterministic_centroids(old, 8), storage="fp16",
+    )
+    ivf_index.append_ivf_index(spark, new, out)
+    ivf_index.append_ivf_index(spark, new, out)  # retry duplicates rows
+    rows_dup = spark.read.parquet(os.path.join(out, "lists")).count()
+    qpd = _queries(emb_df, 3)
+    before = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    pre = nbytes(out)
+
+    ivf_index.compact_ivf_index(spark, out)
+
+    post_df = spark.read.parquet(os.path.join(out, "lists"))
+    rows_post = post_df.count()
+    assert rows_post < rows_dup
+    assert rows_post == post_df.select("list_id", "vec_id").distinct().count()
+    assert nbytes(out) <= pre
+    after = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    assert before.values.tolist() == after.values.tolist()
