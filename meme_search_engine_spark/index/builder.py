@@ -40,7 +40,7 @@ from .postings import (
     build_partials_from_docs,
     finalize_segments,
     part_col,
-    term_stats_from_segments,
+    term_stats_from_partials,
 )
 
 
@@ -356,25 +356,41 @@ def _finalize_epoch(
     up by the readers.  Rerunnable (overwrite of this epoch's dirs
     only) — the reference swaps in only new state on reindex
     (main.rs:1005-1035)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     partials = spark.read.parquet(
         os.path.join(out_dir, "partials", f"epoch={epoch}")
     )
     segments = finalize_segments(partials, cfg)
     seg_dir = os.path.join(out_dir, "segments", f"epoch={epoch}")
-    (
-        # finalize_segments already bucket-partitioned AND left rows
-        # term_hash-sorted (its window sort), so this write adds no
-        # exchange and parquet row-group min/max stats on term_hash
-        # are tight — both the Spark scan's PushedFilters and the
-        # pyarrow serving path skip whole row groups per query
-        segments.write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(seg_dir)
-    )
-    seg = spark.read.parquet(seg_dir)
-    term_stats_from_segments(seg).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "term_stats", f"epoch={epoch}")
-    )
+
+    def write_segments():
+        (
+            # finalize_segments already bucket-partitioned AND left rows
+            # term_hash-sorted (its window sort), so this write adds no
+            # exchange and parquet row-group min/max stats on term_hash
+            # are tight — both the Spark scan's PushedFilters and the
+            # pyarrow serving path skip whole row groups per query
+            segments.write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(seg_dir)
+        )
+
+    def write_term_stats():
+        # aggregated from partials, NOT a re-read of the written
+        # segments: identical values (same block rows), but the job is
+        # independent of the segments write, so both run concurrently
+        # and the finalize wall-clock is max(), not sum() — this
+        # sequential write+re-read was the finalize phase's Amdahl
+        # tail in the scaling protocol (1.28x at 2->8 cores)
+        term_stats_from_partials(partials).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "term_stats", f"epoch={epoch}")
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(write_segments), ex.submit(write_term_stats)]
+        for f in futs:
+            f.result()
 
 
 def _write_manifest(
@@ -431,8 +447,8 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         .mode("overwrite")
         .parquet(os.path.join(seg_tmp, "epoch=0"))
     )
-    term_stats_from_segments(
-        spark.read.parquet(os.path.join(seg_tmp, "epoch=0"))
+    term_stats_from_partials(
+        partials.drop("epoch")
     ).write.mode("overwrite").parquet(os.path.join(ts_tmp, "epoch=0"))
     for name, tmp in (("segments", seg_tmp), ("term_stats", ts_tmp)):
         final = os.path.join(out_dir, name)

@@ -314,6 +314,24 @@ def term_stats_from_segments(segments: DataFrame) -> DataFrame:
     )
 
 
+def term_stats_from_partials(partials: DataFrame) -> DataFrame:
+    """term_stats aggregated DIRECTLY from partial blocks — the same
+    row set finalize_segments renumbers, so the values are identical to
+    term_stats_from_segments(finalized) (pytest-asserted), but the job
+    needs neither the finalize window nor a re-read of the written
+    segments: a column-pruned scan of 4 int/double partials columns
+    (never the binary payloads) + one groupBy.  That independence is
+    what lets _finalize_epoch run the term_stats write CONCURRENTLY
+    with the big segments write (the r3 scaling protocol measured the
+    sequential write+re-read as the finalize phase's Amdahl tail)."""
+    return partials.groupBy("term_hash").agg(
+        F.sum("n_docs").alias("df"),
+        F.count("*").alias("n_blocks"),
+        F.max("block_max_tfnorm").alias("max_block_max"),
+        F.sum("bytes").alias("bytes"),
+    )
+
+
 def decode_segments_to_postings(segments: DataFrame) -> DataFrame:
     """Segments -> exploded (term_hash, doc_id, tf, doc_len) — the
     decode path used by tests/goldens and the exhaustive scorer-over-
