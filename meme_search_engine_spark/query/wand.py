@@ -74,6 +74,28 @@ def _decode_block(doc_ids_b, tfs_b, dls_b):
     return d, varbyte_decode(tfs_b), varbyte_decode(dls_b)
 
 
+def _decode_blocks_batch(t: dict, sel: list[int]) -> tuple:
+    """Decode the selected blocks of ONE term in a single varbyte pass
+    per stream (varbyte is self-delimiting, so concatenated buffers
+    decode to concatenated values), instead of 3 decode calls + a
+    cumsum PER BLOCK.  Per-block delta->absolute doc ids fall out of
+    the global cumsum minus each block's prefix offset (the first delta
+    of a block is its absolute min doc id, i.e. a delta from 0).
+
+    This is the serve-latency hot path: a head-term query decodes
+    hundreds of blocks, and per-block numpy fixed overhead (~6 array
+    calls x n_blocks) dominated p50 at a 100k-doc index."""
+    counts = t["n"][sel]
+    deltas = varbyte_decode(b"".join(t["doc_ids"][i] for i in sel))
+    tfs = varbyte_decode(b"".join(t["tfs"][i] for i in sel))
+    dls = varbyte_decode(b"".join(t["dls"][i] for i in sel))
+    cum = np.cumsum(deltas, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offsets = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+    d = cum - np.repeat(offsets, counts)
+    return d, tfs, dls
+
+
 def _contribs_fixed(
     idf: float, tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float
 ) -> np.ndarray:
@@ -112,15 +134,26 @@ def score_query_blocks(
     hence also of any subset's kth reported score's requirement)."""
     two32 = float(FIXED_POINT_SCALE)
 
-    def decode_masked(t, b_i):
-        d, tfs, dls = _decode_block(
-            t["doc_ids"][b_i], t["tfs"][b_i], t["dls"][b_i]
-        )
-        if doc_shift is not None:
-            m = (d.astype(np.uint64) >> np.uint64(doc_shift)) == np.uint64(range_id)
-            if not m.all():
-                d, tfs, dls = d[m], tfs[m], dls[m]
-        return d, tfs, dls
+    def decode_score_terms(block_sel: list[tuple[int, int]]):
+        """[(t_i, b_i)] -> (doc_ids, fixed_contribs) concatenated, one
+        batched decode per term (see _decode_blocks_batch) with the
+        doc-range mask applied post-decode."""
+        by_term: dict[int, list[int]] = {}
+        for t_i, b_i in block_sel:
+            by_term.setdefault(t_i, []).append(b_i)
+        ids_parts, c_parts = [], []
+        for t_i, b_list in by_term.items():
+            t = terms[t_i]
+            d, tfs, dls = _decode_blocks_batch(t, sorted(b_list))
+            if doc_shift is not None:
+                m = (d.astype(np.uint64) >> np.uint64(doc_shift)) == np.uint64(
+                    range_id
+                )
+                if not m.all():
+                    d, tfs, dls = d[m], tfs[m], dls[m]
+            ids_parts.append(d)
+            c_parts.append(_contribs_fixed(t["idf"], tfs, dls, k1, b, avgdl))
+        return np.concatenate(ids_parts), np.concatenate(c_parts)
 
     query_id = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
@@ -158,29 +191,25 @@ def score_query_blocks(
         )
 
     # ---- phase 1: θ seed from the highest-ub blocks (exact partial
-    # sums are valid lower bounds); floored by the external seed
-    flat = [
-        (t_i, b_i, int(t["ub"][b_i]), int(t["n"][b_i]))
-        for t_i, t in enumerate(terms)
-        for b_i in range(len(t["ub"]))
-    ]
-    flat.sort(key=lambda x: -x[2])
-    seed, covered = [], 0
-    for t_i, b_i, _, n in flat:
-        seed.append((t_i, b_i))
-        covered += n
-        if covered >= 2 * k:
-            break
+    # sums are valid lower bounds); floored by the external seed.
+    # Vectorized: argsort over the concatenated per-term ub arrays
+    # (stable, so identical seed membership to the old Python tuple
+    # sort), cut where the cumulative doc count first covers 2k.
+    ub_all = np.concatenate([t["ub"] for t in terms])
+    n_all = np.concatenate([t["n"] for t in terms])
+    t_all = np.repeat(
+        np.arange(len(terms)), [len(t["ub"]) for t in terms]
+    )
+    b_all = np.concatenate(
+        [np.arange(len(t["ub"]), dtype=np.int64) for t in terms]
+    )
+    order_ub = np.argsort(-ub_all, kind="stable")
+    covered = np.cumsum(n_all[order_ub])
+    m = min(int(np.searchsorted(covered, 2 * k, side="left")) + 1, len(order_ub))
+    seed = list(zip(t_all[order_ub[:m]].tolist(), b_all[order_ub[:m]].tolist()))
     theta = int(theta0)
     if seed:
-        ids_parts, c_parts = [], []
-        for t_i, b_i in seed:
-            t = terms[t_i]
-            d, tfs, dls = decode_masked(t, b_i)
-            ids_parts.append(d)
-            c_parts.append(_contribs_fixed(t["idf"], tfs, dls, k1, b, avgdl))
-        ids = np.concatenate(ids_parts)
-        cs = np.concatenate(c_parts)
+        ids, cs = decode_score_terms(seed)
         uniq, inv = np.unique(ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sums, inv, cs)
@@ -215,15 +244,8 @@ def score_query_blocks(
             }
         )
 
-    # ---- phase 3: exact scoring of surviving blocks
-    ids_parts, c_parts = [], []
-    for t_i, b_i in survivors:
-        t = terms[t_i]
-        d, tfs, dls = decode_masked(t, b_i)
-        ids_parts.append(d)
-        c_parts.append(_contribs_fixed(t["idf"], tfs, dls, k1, b, avgdl))
-    ids = np.concatenate(ids_parts)
-    cs = np.concatenate(c_parts)
+    # ---- phase 3: exact scoring of surviving blocks (batched decode)
+    ids, cs = decode_score_terms(survivors)
     uniq, inv = np.unique(ids, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(sums, inv, cs)
