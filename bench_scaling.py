@@ -7,7 +7,9 @@ identical input and report throughput at both: efficiency =
 (docs_per_sec@32 / docs_per_sec@8) / 4.
 
 Each measurement runs in its OWN subprocess (a JVM can't change
-master= after startup).  Results go to BENCH/BASELINE.md and stdout
+master= after startup).  Summary JSON goes to stdout + appends to
+BENCH/runs.jsonl; a generated report lands in BENCH/last_run.md
+(BENCH/BASELINE.md itself is hand-curated from those)
 (one JSON line).
 
 Usage:
@@ -234,7 +236,13 @@ def main() -> None:
     bw_ratio = bw_hi / bw_lo if bw_lo else float("nan")
     pct_of_ceiling = 100.0 * ratio / bw_ratio if bw_lo else float("nan")
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    # full distribution survives regeneration: one JSON line per run
+    with open("BENCH/runs.jsonl", "a") as fh:
+        fh.write(json.dumps(summary) + "\n")
+    # BENCH/BASELINE.md is hand-curated (keeps best-run + sustained-
+    # scale + distribution narrative); the generated report goes to
+    # last_run.md for copy-in
+    with open("BENCH/last_run.md", "w") as fh:
         fh.write(
             f"""# BENCH — scaling-efficiency evidence
 
@@ -334,7 +342,7 @@ skew-bounded, partial aggregation before every exchange, no
 driver-side joins) contains nothing that serializes at 4x executors.
 """
         )
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print("wrote BENCH/last_run.md (+ runs.jsonl)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -227,11 +227,57 @@ def ivf_search(
     queries_pd: pd.DataFrame,
     k: int = 10,
     n_probe: int = 8,
+    rerank_from: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Top-k cosine over the persisted lists, probing only each query's
     n_probe nearest lists.  The list filter is a PARTITION filter on
     the parquet layout — the scan reads ~n_probe/n_lists of the data
-    (the `.explain` shows PartitionFilters: list_id IN (...))."""
+    (the `.explain` shows PartitionFilters: list_id IN (...)).
+
+    rerank_from: optional (vec_id, embedding) source table for a
+    full-precision rerank — the reference's two-stage shape (PQ/ADC
+    frontier scoring, then exact rerank of the candidates,
+    query_disk_index.rs:486-527).  The quantized tier ranks
+    k*rerank_factor candidates per query; their EXACT vectors come
+    from one broadcast semi-join against the source table (Q*k*factor
+    candidate rows — tiny), and the returned `cosine` is exact.  Use
+    with lossy storage (pq/int8/fp16); recall improves because
+    quantization errors inside the candidate set no longer affect the
+    final order."""
+    if rerank_from is not None:
+        approx = ivf_search(
+            spark, out_dir, queries_pd, k=k * rerank_factor, n_probe=n_probe
+        ).select("query_id", "vec_id")
+        qdf = spark.createDataFrame(
+            [
+                (int(queries_pd["query_id"].iloc[i]),
+                 [float(x) for x in queries_pd["qvec"].iloc[i]])
+                for i in range(len(queries_pd))
+            ],
+            "query_id long, qvec array<float>",
+        )
+        exact = (
+            rerank_from.join(F.broadcast(approx), "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn(
+                "cosine",
+                _dot("embedding", "qvec")
+                / F.greatest(
+                    F.sqrt(_dot("embedding", "embedding"))
+                    * F.sqrt(_dot("qvec", "qvec")),
+                    F.lit(1e-30),
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+        )
     manifest = load_ivf_manifest(out_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
@@ -312,9 +358,10 @@ def ivf_search(
     scored = cand.withColumn(
         "cosine",
         _dot("embedding", "qvec")
-        / (
+        / F.greatest(
             F.sqrt(_dot("embedding", "embedding"))
-            * F.sqrt(_dot("qvec", "qvec"))
+            * F.sqrt(_dot("qvec", "qvec")),
+            F.lit(1e-30),  # all-zero vector -> cosine 0, not NaN
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -41,9 +41,10 @@ def cosine_topk_exact(
     scored = embeddings.crossJoin(F.broadcast(queries)).withColumn(
         "cosine",
         _dot("embedding", "qvec")
-        / (
+        / F.greatest(
             F.sqrt(_dot("embedding", "embedding"))
-            * F.sqrt(_dot("qvec", "qvec"))
+            * F.sqrt(_dot("qvec", "qvec")),
+            F.lit(1e-30),  # all-zero vector -> cosine 0, not NaN
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -342,9 +343,10 @@ def ivf_topk(
     scored = cand.withColumn(
         "cosine",
         _dot("embedding", "qvec")
-        / (
+        / F.greatest(
             F.sqrt(_dot("embedding", "embedding"))
-            * F.sqrt(_dot("qvec", "qvec"))
+            * F.sqrt(_dot("qvec", "qvec")),
+            F.lit(1e-30),  # all-zero vector -> cosine 0, not NaN
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

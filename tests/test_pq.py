@@ -387,3 +387,57 @@ def test_compact_ivf_index_dedups_storage(spark, emb_df, tmp_path):
     assert nbytes(out) <= pre
     after = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
     assert before.values.tolist() == after.values.tolist()
+
+
+def test_ivf_search_exact_rerank(spark, emb_df, tmp_path):
+    """Two-stage search on lossy storage (the reference's ADC frontier
+    + exact rerank, query_disk_index.rs:486-527): rerank_from returns
+    EXACT cosines for the candidate set, so recall@10 must be >= the
+    raw quantized ranking's, and every returned cosine must equal the
+    brute-force value for that (query, vec)."""
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        cosine_topk_exact,
+        deterministic_centroids,
+    )
+
+    out = str(tmp_path / "ivf_rerank")
+    ivf_index.build_ivf_index(
+        spark, emb_df, out, centroids=deterministic_centroids(emb_df, 8),
+        spill=1, storage="pq", pq_m=16, pq_ksub=64,
+    )
+    qpd = _queries(emb_df, 3)
+    k = 10
+    exact = cosine_topk_exact(
+        emb_df,
+        spark.createDataFrame(qpd, "query_id long, qvec array<float>"),
+        k=k,
+    ).collect()
+    truth = {}
+    exact_cos = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        exact_cos[(r["query_id"], r["vec_id"])] = r["cosine"]
+
+    raw = ivf_index.ivf_search(spark, out, qpd, k=k, n_probe=8).collect()
+    rer = ivf_index.ivf_search(
+        spark, out, qpd, k=k, n_probe=8, rerank_from=emb_df,
+        rerank_factor=10,
+    ).collect()
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    assert recall(rer) >= recall(raw)
+    assert recall(rer) >= 0.9
+    # reranked cosines are EXACT: anything also in the brute-force
+    # top-k must carry the identical cosine value
+    for r in rer:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-12
