@@ -1,0 +1,356 @@
+"""Vamana graph ANN — the reference's ACTUAL large-scale index
+structure, Spark-first.
+
+The reference builds a per-shard Vamana graph (DiskANN;
+/root/reference/src/generate_index_shard.rs:22-37: R=64, L=192,
+maxc=750, two passes with a second alpha; /root/reference/diskann/
+src/lib.rs greedy-search + robust-prune) and queries it with beam
+search over on-disk records (query_disk_index.rs:284-288 beam_width).
+SURVEY re-targeted retrieval onto IVF/PQ; this module closes the
+remaining structural gap with a from-scratch implementation of the
+published algorithm (Subramanya et al., "DiskANN", NeurIPS'19):
+
+- build: shard by nearest centroid (the same routing the IVF index
+  uses), then ONE applyInPandas per shard builds that shard's graph —
+  the reference's per-shard build parallelism (D8), numpy-vectorized
+  per hop; adjacency is stored as a plain parquet column
+  (list_id, vec_id, neighbors array<bigint>, embedding), partitioned
+  by list_id, so the query-side scan partition-prunes exactly like
+  the IVF lists;
+- query: route each query to its n_probe nearest shards, beam-search
+  ONLY those shards' graphs (mapInPandas over the pruned scan,
+  queries broadcast), tiny global top-k merge.
+
+Scale story: the graph build is per-shard-local (no cross-shard
+edges, like the reference's shards), so build cost is
+sum(shard_size * L * degree) fully parallel across shards; a shard
+never leaves its executor.  Query reads n_probe/n_lists of the data
+by partition pruning and the beam visits a small fraction of each
+probed shard (pytest asserts the visited fraction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..common.vecmath import l2_normalize
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .similarity import ivf_assign
+
+
+def _greedy_search(
+    vm: np.ndarray,
+    adj: list[np.ndarray],
+    q: np.ndarray,
+    start: int,
+    beam: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-first search on a shard-local graph.  vm: (n, d) unit rows;
+    q: (d,) unit query.  Returns (visited_ids, visited_dists) with
+    dist = 1 - cosine, visited in exploration order.
+
+    Per hop the frontier's neighbor gather + dot products are one
+    numpy batch — the Python loop runs once per EXPANSION, not per
+    edge (the reference's io_uring beam does the same: one batch of
+    reads per hop, query_disk_index.rs:284-330)."""
+    n = vm.shape[0]
+    dist = lambda idx: 1.0 - vm[idx] @ q  # noqa: E731
+    visited = np.zeros(n, dtype=bool)
+    in_cand = np.zeros(n, dtype=bool)
+    cand_ids = np.array([start], dtype=np.int64)
+    cand_d = dist(cand_ids)
+    in_cand[start] = True
+    out_ids: list[int] = []
+    out_d: list[float] = []
+    while True:
+        # closest unvisited candidate
+        live = ~visited[cand_ids]
+        if not live.any():
+            break
+        li = np.flatnonzero(live)
+        p = li[np.argmin(cand_d[li])]
+        node = int(cand_ids[p])
+        visited[node] = True
+        out_ids.append(node)
+        out_d.append(float(cand_d[p]))
+        nbrs = adj[node]
+        fresh = nbrs[~in_cand[nbrs]]
+        if len(fresh):
+            in_cand[fresh] = True
+            cand_ids = np.concatenate([cand_ids, fresh])
+            cand_d = np.concatenate([cand_d, dist(fresh)])
+        if len(cand_ids) > beam:
+            keep = np.argpartition(cand_d, beam - 1)[:beam]
+            # never drop visited entries' bookkeeping — only the beam
+            cand_ids, cand_d = cand_ids[keep], cand_d[keep]
+    return np.asarray(out_ids, dtype=np.int64), np.asarray(out_d)
+
+
+def _robust_prune(
+    vm: np.ndarray,
+    point: int,
+    cand: np.ndarray,
+    alpha: float,
+    r: int,
+) -> np.ndarray:
+    """DiskANN robust prune: keep the closest candidate, discard any
+    candidate closer to a kept one than (its distance to the point)
+    divided by alpha; repeat until R neighbors are kept."""
+    cand = np.unique(cand[cand != point])
+    if not len(cand):
+        return cand
+    d_p = 1.0 - vm[cand] @ vm[point]
+    order = np.argsort(d_p, kind="stable")
+    cand, d_p = cand[order], d_p[order]
+    kept: list[int] = []
+    alive = np.ones(len(cand), dtype=bool)
+    while alive.any() and len(kept) < r:
+        i = int(np.flatnonzero(alive)[0])
+        c = int(cand[i])
+        kept.append(c)
+        alive[i] = False
+        if not alive.any():
+            break
+        rest = np.flatnonzero(alive)
+        d_to_c = 1.0 - vm[cand[rest]] @ vm[c]
+        # alpha > 1 keeps longer-range edges (the navigability knob)
+        alive[rest[alpha * d_to_c <= d_p[rest]]] = False
+    return np.asarray(kept, dtype=np.int64)
+
+
+def build_vamana_graph(
+    vm: np.ndarray,
+    r: int = 16,
+    beam: int = 48,
+    alpha: float = 1.2,
+    seed: int = 0,
+    n_passes: int = 2,
+) -> tuple[np.ndarray, int]:
+    """Vamana over (n, d) rows (normalized internally) ->
+    (adjacency (n, r) int64 padded with -1, medoid index).
+
+    Deterministic: the random init graph comes from a seeded
+    Generator, insertion order is 0..n-1.  Two passes, the second at
+    `alpha` and the first at 1.0, as in the paper (and the reference's
+    alpha / alpha_2 split, generate_index_shard.rs:29-33,123)."""
+    n = vm.shape[0]
+    vm = l2_normalize(np.ascontiguousarray(vm, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    if n == 1:
+        return np.full((1, r), -1, dtype=np.int64), 0
+    adj: list[np.ndarray] = []
+    for i in range(n):
+        nbrs = rng.choice(n - 1, size=min(r, n - 1), replace=False)
+        nbrs[nbrs >= i] += 1  # exclude self
+        adj.append(nbrs.astype(np.int64))
+    medoid = int(np.argmax(vm @ vm.mean(axis=0)))
+    for p in range(n_passes):
+        a = 1.0 if p == 0 else alpha
+        for i in range(n):
+            vis_ids, _ = _greedy_search(vm, adj, vm[i], medoid, beam)
+            cand = np.concatenate([vis_ids, adj[i]])
+            adj[i] = _robust_prune(vm, i, cand, a, r)
+            for j in adj[i]:
+                j = int(j)
+                if i not in adj[j]:
+                    merged = np.append(adj[j], i)
+                    if len(merged) > r:
+                        adj[j] = _robust_prune(vm, j, merged, a, r)
+                    else:
+                        adj[j] = merged
+    out = np.full((n, r), -1, dtype=np.int64)
+    for i in range(n):
+        out[i, : len(adj[i])] = adj[i]
+    return out, medoid
+
+
+# ------------------------------------------------------------- index
+
+def build_vamana_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    r: int = 16,
+    beam: int = 48,
+    alpha: float = 1.2,
+    centroids: np.ndarray | None = None,
+    n_iters: int = 8,
+) -> dict:
+    """Sharded Vamana index: centroid routing (same as the IVF index),
+    one graph per shard built INSIDE applyInPandas — the shard's rows
+    never leave their executor; neighbors are stored as GLOBAL vec_ids
+    so the adjacency column is self-contained.
+
+    Layout: vamana_manifest.json + shards/list_id=*/ parquet of
+    (vec_id, embedding, neighbors array<bigint>, is_medoid)."""
+    from .kmeans import train_balanced_kmeans
+
+    os.makedirs(out_dir, exist_ok=True)
+    if centroids is None:
+        centroids = train_balanced_kmeans(embeddings, n_shards, n_iters)
+    assigned = ivf_assign(embeddings, centroids, spill=1)
+
+    def build_shard(key, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # deterministic per-shard seed from content, not wall clock
+        seed = int(pd.util.hash_pandas_object(pdf["vec_id"]).sum() % (2**31))
+        adj, medoid = build_vamana_graph(
+            vm, r=r, beam=beam, alpha=alpha, seed=seed
+        )
+        gids = pdf["vec_id"].to_numpy(np.int64)
+        neighbors = [gids[row[row >= 0]].tolist() for row in adj]
+        return pd.DataFrame(
+            {
+                "list_id": pdf["list_id"],
+                "vec_id": gids,
+                "embedding": pdf["embedding"],
+                "neighbors": neighbors,
+                "is_medoid": np.arange(len(gids)) == medoid,
+            }
+        )
+
+    schema = (
+        "list_id int, vec_id long, embedding array<float>, "
+        "neighbors array<bigint>, is_medoid boolean"
+    )
+    (
+        assigned.repartition("list_id")
+        .groupBy("list_id")
+        .applyInPandas(build_shard, schema)
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    manifest = {
+        "format_version": 1,
+        "n_shards": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "r": int(r),
+        "beam": int(beam),
+        "alpha": float(alpha),
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    tmp = os.path.join(out_dir, "vamana_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, "vamana_manifest.json"))
+    return manifest
+
+
+def load_vamana_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "vamana_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def vamana_search(
+    spark: SparkSession,
+    out_dir: str,
+    queries_pd: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    beam: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Beam search over the probed shards only.  The shard filter is a
+    PARTITION filter (reads n_probe/n_shards of the index); each
+    probed shard runs its queries' beam searches inside mapInPandas
+    and emits at most k rows per query; the global merge is a tiny
+    window.  `stats`: pass a dict to receive visited-fraction
+    telemetry (driver-side, test/diagnostic use)."""
+    manifest = load_vamana_manifest(out_dir)
+    beam = beam if beam is not None else int(manifest["beam"])
+    cents = l2_normalize(
+        np.asarray(manifest["centroids"], dtype=np.float64)
+    )
+    qm = np.stack(queries_pd["qvec"].to_numpy()).astype(np.float64)
+    qn = l2_normalize(qm)
+    probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    qids = queries_pd["query_id"].to_numpy(np.int64)
+
+    # (shard -> queries probing it); queries ride along as broadcast
+    # plan literals (tiny), the shard data comes from the pruned scan
+    shard_queries: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for s in probe[qi]:
+            shard_queries.setdefault(int(s), []).append(qi)
+    wanted = sorted(shard_queries)
+    qn_list = qn.tolist()
+    k_eff = int(k)
+    beam_eff = int(max(beam, k))
+    counters = spark.sparkContext.accumulator(0)
+    total_rows = spark.sparkContext.accumulator(0)
+
+    shards = spark.read.parquet(os.path.join(out_dir, "shards")).filter(
+        F.col("list_id").isin(wanted)  # partition pruning
+    )
+
+    def kernel(batches):
+        # one shard's rows may span several Arrow batches: buffer per
+        # list_id, flush complete shards (mapInPandas feeds whole
+        # partitions; each list_id is one partition dir)
+        buf: dict[int, list[pd.DataFrame]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lid, g in pdf.groupby("list_id"):
+                buf.setdefault(int(lid), []).append(g)
+        for lid, parts in buf.items():
+            sh = pd.concat(parts, ignore_index=True)
+            sh = sh.sort_values("vec_id").reset_index(drop=True)
+            gids = sh["vec_id"].to_numpy(np.int64)
+            vm = l2_normalize(
+                np.stack(sh["embedding"].to_numpy()).astype(np.float64)
+            )
+            pos = {int(g): i for i, g in enumerate(gids)}
+            adj = [
+                np.fromiter(
+                    (pos[int(x)] for x in row if int(x) in pos),
+                    dtype=np.int64,
+                )
+                for row in sh["neighbors"]
+            ]
+            med = sh.index[sh["is_medoid"]]
+            start = int(med[0]) if len(med) else 0
+            out_q, out_v, out_c = [], [], []
+            for qi in shard_queries.get(lid, []):
+                q = np.asarray(qn_list[qi], dtype=np.float64)
+                vis_ids, vis_d = _greedy_search(vm, adj, q, start, beam_eff)
+                counters.add(int(len(vis_ids)))
+                total_rows.add(int(len(gids)))
+                kk = min(k_eff, len(vis_ids))
+                top = np.lexsort((gids[vis_ids], vis_d))[:kk]
+                out_q.extend([int(qids[qi])] * kk)
+                out_v.extend(gids[vis_ids[top]].tolist())
+                out_c.extend((1.0 - vis_d[top]).tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+            )
+
+    partial = shards.mapInPandas(
+        kernel, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    result = (
+        partial.groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+    if stats is not None:
+        rows = result.collect()
+        stats["visited"] = counters.value
+        stats["shard_rows_seen"] = total_rows.value
+        stats["_rows"] = rows
+    return result

@@ -1,0 +1,135 @@
+"""Vamana graph ANN (ops/vamana): build determinism, degree bound,
+recall vs brute force, beam-search pruning, and partition-pruned
+shard probing — the reference's DiskANN shard design re-expressed
+(generate_index_shard.rs / diskann/src/lib.rs / query_disk_index.rs).
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from meme_search_engine_spark.ops import vamana
+from meme_search_engine_spark.ops.similarity import (
+    cosine_topk_exact,
+    deterministic_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/embeddings.parquet").cache()
+
+
+def _queries(emb_df, n=5):
+    return (
+        emb_df.orderBy("vec_id")
+        .limit(n)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        .toPandas()
+    )
+
+
+def test_graph_build_deterministic_and_degree_bounded(emb_df):
+    vm = np.stack(
+        emb_df.limit(120).toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    a1, m1 = vamana.build_vamana_graph(vm, r=8, beam=24, seed=7)
+    a2, m2 = vamana.build_vamana_graph(vm, r=8, beam=24, seed=7)
+    assert m1 == m2
+    assert (a1 == a2).all()
+    assert a1.shape == (120, 8)
+    # no self loops, valid ids
+    for i in range(len(a1)):
+        row = a1[i][a1[i] >= 0]
+        assert i not in row
+        assert (row < 120).all()
+
+
+def test_single_shard_graph_recall(emb_df):
+    """Beam search on one full graph must recover nearly all of the
+    exact top-10 (single shard = no routing loss) while visiting a
+    strict subset of the nodes."""
+    pdf = emb_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    from meme_search_engine_spark.common.vecmath import l2_normalize
+
+    vmn = l2_normalize(vm)
+    adj_m, medoid = vamana.build_vamana_graph(vm, r=16, beam=48, seed=1)
+    adj = [row[row >= 0] for row in adj_m]
+    k = 10
+    recalls, fracs = [], []
+    for qi in range(8):
+        q = vmn[qi]
+        vis, vis_d = vamana._greedy_search(vmn, adj, q, medoid, 64)
+        got = set(
+            vis[np.lexsort((vis, vis_d))[:k]].tolist()
+        )
+        true = set(np.argsort(-(vmn @ q), kind="stable")[:k].tolist())
+        recalls.append(len(got & true) / k)
+        fracs.append(len(vis) / len(vmn))
+    assert np.mean(recalls) >= 0.9, recalls
+    # the beam visits a small fraction of the graph, not the corpus
+    assert np.mean(fracs) < 0.6, fracs
+
+
+def test_sharded_index_recall_and_pruning(spark, emb_df, tmp_path):
+    out = str(tmp_path / "vamana_idx")
+    vamana.build_vamana_index(
+        spark, emb_df, out, n_shards=4,
+        centroids=deterministic_centroids(emb_df, 4),
+        r=16, beam=48,
+    )
+    qpd = _queries(emb_df, 5)
+    exact = cosine_topk_exact(
+        emb_df,
+        spark.createDataFrame(qpd, "query_id long, qvec array<float>"),
+        k=10,
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    # all shards probed -> only beam-search loss, no routing loss
+    stats: dict = {}
+    res = vamana.vamana_search(
+        spark, out, qpd, k=10, n_probe=4, beam=64, stats=stats
+    )
+    rows = stats["_rows"]
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+    assert recall >= 0.9, recall
+    # beam visited strictly less than the probed rows (graph pruning)
+    assert 0 < stats["visited"] < stats["shard_rows_seen"], stats
+
+    # n_probe=1 reads ONE shard partition: assert partition pruning in
+    # the physical plan and that results still return k rows per query
+    pruned = vamana.vamana_search(spark, out, qpd, k=10, n_probe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    by_q = {}
+    for r in pruned.collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert all(len(v) == 10 for v in by_q.values())
+
+
+def test_sharded_build_deterministic(spark, emb_df, tmp_path):
+    qpd = _queries(emb_df, 3)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / f"vam_{name}")
+        vamana.build_vamana_index(
+            spark, emb_df, out, n_shards=4,
+            centroids=deterministic_centroids(emb_df, 4),
+            r=8, beam=24,
+        )
+        res = vamana.vamana_search(spark, out, qpd, k=10, n_probe=4)
+        outs.append(sorted(map(tuple, res.select(
+            "query_id", "rank", "vec_id").collect())))
+    assert outs[0] == outs[1]
