@@ -171,6 +171,38 @@ def build_vamana_graph(
     return out, medoid
 
 
+_SHARD_SCHEMA = (
+    "list_id int, vec_id long, embedding array<float>, "
+    "neighbors array<bigint>, is_medoid boolean"
+)
+
+
+def _shard_builder(r: int, beam: int, alpha: float):
+    """applyInPandas kernel: one shard in -> its graph rows out.
+    Seed derives from the shard's vec_id content, so rebuilds are
+    deterministic and an appended index equals a cold build."""
+
+    def build_shard(key, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        seed = int(pd.util.hash_pandas_object(pdf["vec_id"]).sum() % (2**31))
+        adj, medoid = build_vamana_graph(
+            vm, r=r, beam=beam, alpha=alpha, seed=seed
+        )
+        gids = pdf["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "list_id": pdf["list_id"],
+                "vec_id": gids,
+                "embedding": pdf["embedding"],
+                "neighbors": [gids[row[row >= 0]].tolist() for row in adj],
+                "is_medoid": np.arange(len(gids)) == medoid,
+            }
+        )
+
+    return build_shard
+
+
 # ------------------------------------------------------------- index
 
 def build_vamana_index(
@@ -197,35 +229,10 @@ def build_vamana_index(
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_shards, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill=1)
-
-    def build_shard(key, pdf):
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # deterministic per-shard seed from content, not wall clock
-        seed = int(pd.util.hash_pandas_object(pdf["vec_id"]).sum() % (2**31))
-        adj, medoid = build_vamana_graph(
-            vm, r=r, beam=beam, alpha=alpha, seed=seed
-        )
-        gids = pdf["vec_id"].to_numpy(np.int64)
-        neighbors = [gids[row[row >= 0]].tolist() for row in adj]
-        return pd.DataFrame(
-            {
-                "list_id": pdf["list_id"],
-                "vec_id": gids,
-                "embedding": pdf["embedding"],
-                "neighbors": neighbors,
-                "is_medoid": np.arange(len(gids)) == medoid,
-            }
-        )
-
-    schema = (
-        "list_id int, vec_id long, embedding array<float>, "
-        "neighbors array<bigint>, is_medoid boolean"
-    )
     (
         assigned.repartition("list_id")
         .groupBy("list_id")
-        .applyInPandas(build_shard, schema)
+        .applyInPandas(_shard_builder(r, beam, alpha), _SHARD_SCHEMA)
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "shards"))
@@ -243,6 +250,56 @@ def build_vamana_index(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(out_dir, "vamana_manifest.json"))
+    return manifest
+
+
+def append_vamana_index(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Delta-cost append: route the new vectors against the FROZEN
+    centroids, then rebuild ONLY the affected shards' graphs from
+    (old shard rows ∪ new rows) — untouched shards' files are never
+    rewritten (dynamic partition overwrite), so append cost ∝ the
+    affected shards, not the index.  The reference's ingest loop
+    regenerates shards too (graph insertion without rebuild is not
+    part of the published algorithm's quality guarantees).
+
+    Deterministic: frozen centroids + content-seeded builds mean an
+    appended index equals a cold build over the union
+    (pytest-asserted)."""
+    manifest = load_vamana_manifest(out_dir)
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    assigned = ivf_assign(new_embeddings, cents, spill=1)
+    affected = [
+        int(r["list_id"])
+        for r in assigned.select("list_id").distinct().collect()
+    ]
+    shards_dir = os.path.join(out_dir, "shards")
+    old = (
+        spark.read.parquet(shards_dir)
+        .filter(F.col("list_id").isin(affected))  # partition pruning
+        .select("vec_id", "embedding", "list_id")
+    )
+    union = old.unionByName(
+        assigned.select("vec_id", "embedding", "list_id")
+    )
+    (
+        union.repartition("list_id")
+        .groupBy("list_id")
+        .applyInPandas(
+            _shard_builder(
+                int(manifest["r"]), int(manifest["beam"]),
+                float(manifest["alpha"]),
+            ),
+            _SHARD_SCHEMA,
+        )
+        .write.partitionBy("list_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(shards_dir)
+    )
     return manifest
 
 

@@ -133,3 +133,58 @@ def test_sharded_build_deterministic(spark, emb_df, tmp_path):
         outs.append(sorted(map(tuple, res.select(
             "query_id", "rank", "vec_id").collect())))
     assert outs[0] == outs[1]
+
+
+def test_append_equals_cold_build(spark, emb_df, tmp_path):
+    """Frozen-centroid routing + content-seeded shard rebuilds: an
+    appended index must search identically to a cold build over the
+    union, and untouched shards' files must not be rewritten."""
+    import os
+
+    cents = deterministic_centroids(emb_df, 4)
+    old = emb_df.filter(F.col("vec_id") < 400)
+    new = emb_df.filter(F.col("vec_id") >= 400)
+    qpd = _queries(emb_df, 3)
+
+    cold_dir = str(tmp_path / "vam_cold")
+    vamana.build_vamana_index(
+        spark, emb_df, cold_dir, n_shards=4, centroids=cents, r=8, beam=24
+    )
+    app_dir = str(tmp_path / "vam_app")
+    vamana.build_vamana_index(
+        spark, old, app_dir, n_shards=4, centroids=cents, r=8, beam=24
+    )
+
+    # mtimes of shard partitions BEFORE the append
+    def mtimes(d):
+        out = {}
+        root = os.path.join(d, "shards")
+        for sub in os.listdir(root):
+            if sub.startswith("list_id="):
+                p = os.path.join(root, sub)
+                out[sub] = max(
+                    os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = mtimes(app_dir)
+    affected = {
+        f"list_id={r['list_id']}"
+        for r in vamana.ivf_assign(new, cents, spill=1)
+        .select("list_id").distinct().collect()
+    }
+    vamana.append_vamana_index(spark, new, app_dir)
+    after = mtimes(app_dir)
+    for part, t in before.items():
+        if part not in affected:
+            assert after[part] == t, f"untouched shard {part} rewritten"
+
+    res_cold = sorted(map(tuple, vamana.vamana_search(
+        spark, cold_dir, qpd, k=10, n_probe=4
+    ).collect()))
+    res_app = sorted(map(tuple, vamana.vamana_search(
+        spark, app_dir, qpd, k=10, n_probe=4
+    ).collect()))
+    assert res_cold == res_app
