@@ -159,6 +159,41 @@ def main() -> None:
         fmt(hy),
     ))
 
+    # PQ/ADC probe over the persistent index: codes scored via LUT
+    # gathers, still partition-pruned, never decoded
+    pq_dir = tempfile.mkdtemp(prefix="plans_pq_")
+    ivf_index.build_ivf_index(
+        spark, emb, pq_dir, spill=1,
+        centroids=deterministic_centroids(emb, 8), storage="pq",
+        pq_m=16, pq_ksub=64,
+    )
+    pqs = ivf_index.ivf_search(spark, pq_dir, qpd, k=10, n_probe=3)
+    sections.append((
+        "persistent IVF probe, PQ storage (ADC scoring)",
+        "want: same PartitionFilters on list_id; the scan reads vec_id + "
+        "the m-byte pq_code column ONLY (no embedding column exists — "
+        "ReadSchema proves the 72x-smaller payload); ArrowEvalPython is "
+        "the per-batch ADC lookup, then the same window top-k",
+        fmt(pqs),
+    ))
+
+    # Vamana beam search: shard partition pruning + per-shard kernel
+    from meme_search_engine_spark.ops import vamana
+    vam_dir = tempfile.mkdtemp(prefix="plans_vam_")
+    vamana.build_vamana_index(
+        spark, emb, vam_dir, n_shards=4,
+        centroids=deterministic_centroids(emb, 4), r=8, beam=24,
+    )
+    vs = vamana.vamana_search(spark, vam_dir, qpd, k=10, n_probe=2)
+    sections.append((
+        "Vamana graph ANN beam search (sharded DiskANN analogue)",
+        "want: scan shows PartitionFilters on list_id (only the probed "
+        "shards' graph partitions are read); queries ride the broadcast "
+        "plan; MapInPandas runs each shard's beam search emitting <= k "
+        "rows per query; tiny (query_id) window merge",
+        fmt(vs),
+    ))
+
     with open("PLANS.md", "w") as fh:
         fh.write(
             "# PLANS — physical-plan audit (auto-generated by "
