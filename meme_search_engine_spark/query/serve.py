@@ -6,12 +6,15 @@ reads + beam search) rather than re-entering the batch engine.  Same
 split here: the INDEX is built by Spark; SERVING reads the pruned
 posting-segment parquet directly via pyarrow.dataset — bucket partition
 pruning + term_hash row filtering, no Spark job, no scheduler latency —
-and scores with the exact same ``score_query_blocks`` kernel, so
-results are identical to the distributed path (pytest-verified).
+and scores from a decode-once per-term postings cache (the analogue
+of the reference's decode-free fixed records) with the SAME
+fixed-point contribution arithmetic as the distributed engines —
+results are rank- and score-identical (pytest-verified).
 
-Per-query cost: one pruned parquet read (only the query terms' buckets,
-row-group filtered) + a numpy WAND pass — milliseconds, vs the ~1-2 s
-Spark job launch floor.
+Per-query cost: cold terms pay one pruned parquet read (only the
+query terms' buckets, row-group filtered) + one batched varbyte
+decode; warm terms are a pure numpy accumulate — low milliseconds,
+vs the ~1-2 s Spark job launch floor.
 """
 
 from __future__ import annotations
@@ -21,13 +24,13 @@ import os
 import re
 import threading
 
+import numpy as np
 import pandas as pd
 import pyarrow.dataset as ds
 import pyarrow.compute as pc
 
 from ..common.hashing import term_hash
 from ..common.textproc import tokenize
-from .wand import score_query_blocks
 
 def _partition_value(frag, name: str):
     """Extract a hive partition value (e.g. bucket=3) from a fragment's
@@ -216,6 +219,14 @@ class LocalSearcher:
         self._term_cache: dict[int, pd.DataFrame | None] = {}
         self._term_cache_cap = 100_000
         self._term_cache_lock = threading.Lock()
+        # decoded per-term postings cache: (doc_ids, float contribs) —
+        # the driver-local analogue of the reference's DECODE-FREE
+        # fixed-record index (its mmap'd shard pays no per-query
+        # decode either, query_disk_index.rs:73-81).  Bounded by total
+        # cached postings, not entry count (head terms dominate).
+        self._scored_cache: dict[int, tuple | None] = {}
+        self._scored_postings = 0
+        self._scored_postings_cap = 50_000_000  # ~0.8 GB worst case
 
     def _fetch_blocks(self, hashes: list[int]) -> pd.DataFrame | None:
         """Pruned block read for a query's term hashes: bucket pruning
@@ -265,6 +276,77 @@ class LocalSearcher:
             return None
         return pd.concat(frames, ignore_index=True)
 
+    def _term_scored(self, h: int):
+        """(doc_ids int64[], contrib float64[]) over EVERY posting of
+        term `h` (all epochs), decoded ONCE and cached; None = absent.
+        Every serving path rounds the float contribution into fixed
+        point itself (after an optional weight multiply), preserving
+        the cross-engine association-order contract."""
+        with self._term_cache_lock:
+            if h in self._scored_cache:
+                return self._scored_cache[h]
+        pdf = self._fetch_blocks([h])
+        if pdf is None or not len(pdf):
+            entry = None
+        else:
+            from ..common.bm25 import bm25_idf
+            from .wand import _contribs_float, _decode_blocks_batch
+
+            t = {
+                "n": pdf["n_docs"].to_numpy(np.int64),
+                "doc_ids": pdf["doc_ids"].tolist(),
+                "tfs": pdf["tfs"].tolist(),
+                "dls": pdf["dls"].tolist(),
+            }
+            d, tfs, dls = _decode_blocks_batch(t, list(range(len(pdf))))
+            idf = bm25_idf(int(pdf["df"].iloc[0]), self.stats["N"])
+            c = _contribs_float(
+                idf, tfs, dls,
+                self.cfg["k1"], self.cfg["b"], self.stats["avgdl"],
+            )
+            entry = (d, c)
+        with self._term_cache_lock:
+            if (
+                entry is not None
+                and self._scored_postings + len(entry[0])
+                > self._scored_postings_cap
+            ):
+                self._scored_cache.clear()
+                self._scored_postings = 0
+            self._scored_cache[h] = entry
+            if entry is not None:
+                self._scored_postings += len(entry[0])
+        return entry
+
+    def _accumulate_fixed(self, parts: list[tuple]):
+        """[(doc_ids, fixed_contribs)] -> (uniq_doc_ids, int64 sums),
+        uniq ascending.  A term's doc_ids are already sorted strictly
+        increasing (range-disjoint ascending blocks; appends are
+        monotonic), so one term needs no work at all; several terms
+        accumulate via bincount over a dense id space (O(n), exact:
+        per-posting fixed contribs are < 2^38 and a query has few
+        terms, far below float64's 2^53 integer range) with an
+        argsort+reduceat fallback for sparse/huge id spaces."""
+        if len(parts) == 1:
+            return parts[0]
+        ids = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts])
+        lo, hi = int(ids.min()), int(ids.max())
+        if lo >= 0 and hi < max(4 * len(ids), 1 << 22):
+            sums_f = np.bincount(
+                ids, weights=cs.astype(np.float64), minlength=hi + 1
+            )
+            # presence mask, NOT sums!=0: a matching doc whose weighted
+            # contributions cancel to exactly 0 still outranks negative
+            # totals (negative weights exist in the weighted path)
+            present = np.bincount(ids, minlength=hi + 1)
+            nz = np.flatnonzero(present)
+            return nz.astype(np.int64), sums_f[nz].astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        sid, sc = ids[order], cs[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sid)) + 1))
+        return sid[starts], np.add.reduceat(sc, starts)
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url from the docmeta sidecar (row-group filtered
         pyarrow read; the reference's filename projection,
@@ -290,29 +372,38 @@ class LocalSearcher:
     def search(self, text: str, k: int = 10, with_urls: bool = False) -> list[dict]:
         """-> [{rank, doc_id, score_fixed, score}] — rank-identical to
         the Spark engines and the oracle."""
+        from ..common.bm25 import FIXED_POINT_SCALE
+
         hashes = sorted({term_hash(t) for t in tokenize(text)})
-        if not hashes:
+        parts = []
+        for h in hashes:
+            p = self._term_scored(h)
+            if p is not None:
+                parts.append(
+                    (
+                        p[0],
+                        np.floor(
+                            p[1] * float(FIXED_POINT_SCALE) + 0.5
+                        ).astype(np.int64),
+                    )
+                )
+        if not parts:
             return []
-        pdf = self._fetch_blocks(hashes)
-        if pdf is None:
-            return []
-        pdf["query_id"] = 0
-        pdf["k"] = k
-        out = score_query_blocks(
-            pdf,
-            self.stats["N"],
-            self.stats["avgdl"],
-            self.cfg["k1"],
-            self.cfg["b"],
-        )
+        from ..ops.similarity import partial_topk_indices
+
+        uniq, sums = self._accumulate_fixed(parts)
+        kk = min(k, len(uniq))
+        # O(n) threshold selection (tie-exact), then rank only the k
+        sel = partial_topk_indices(sums[:, None], uniq, kk)[:, 0]
+        order = sel[np.lexsort((uniq[sel], -sums[sel]))]
         results = [
             {
-                "rank": int(r.rank),
-                "doc_id": int(r.doc_id),
-                "score_fixed": int(r.score_fixed),
-                "score": float(r.score),
+                "rank": i + 1,
+                "doc_id": int(uniq[j]),
+                "score_fixed": int(sums[j]),
+                "score": sums[j] / float(FIXED_POINT_SCALE),
             }
-            for r in out.itertuples(index=False)
+            for i, j in enumerate(order)
         ]
         return self._attach_urls(results) if with_urls else results
 
@@ -412,36 +503,25 @@ class LocalSearcher:
         """doc_id -> exact fixed-point BM25 over the query's terms
         (every posting of every query term; the same accumulation the
         weighted/quality paths use)."""
-        import numpy as np
-
-        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
-        from .wand import _decode_block
+        from ..common.bm25 import FIXED_POINT_SCALE
 
         hashes = sorted({term_hash(t) for t in tokenize(text)})
-        acc: dict[int, int] = {}
-        if not hashes:
-            return acc
-        pdf = self._fetch_blocks(hashes)
-        if pdf is None:
-            return acc
-        k1, b = self.cfg["k1"], self.cfg["b"]
-        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
-        for th, g in pdf.groupby("term_hash"):
-            idf = bm25_idf(int(g["df"].iloc[0]), n_docs)
-            for r in g.itertuples(index=False):
-                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
-                tf_f = tfs.astype(np.float64)
-                tf_norm = tf_f / (
-                    tf_f
-                    + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+        parts = []
+        for h in hashes:
+            p = self._term_scored(h)
+            if p is not None:
+                parts.append(
+                    (
+                        p[0],
+                        np.floor(
+                            p[1] * float(FIXED_POINT_SCALE) + 0.5
+                        ).astype(np.int64),
+                    )
                 )
-                fixed = np.floor(
-                    (idf * (k1 + 1.0) * tf_norm) * float(FIXED_POINT_SCALE)
-                    + 0.5
-                ).astype(np.int64)
-                for doc, fx in zip(d.tolist(), fixed.tolist()):
-                    acc[doc] = acc.get(doc, 0) + fx
-        return acc
+        if not parts:
+            return {}
+        uniq, sums = self._accumulate_fixed(parts)
+        return dict(zip(uniq.tolist(), sums.tolist()))
 
     def search_hybrid(
         self,
@@ -528,10 +608,7 @@ class LocalSearcher:
         the query terms' postings (block-max pruning is only valid for
         all-positive weights, so the weighted path never prunes)."""
 
-        import numpy as np
-
-        from ..common.bm25 import FIXED_POINT_SCALE, bm25_idf
-        from .wand import _decode_block
+        from ..common.bm25 import FIXED_POINT_SCALE
 
         weights: dict[int, float] = {}
         for text, w in terms:
@@ -540,29 +617,25 @@ class LocalSearcher:
                 weights[h] = weights.get(h, 0.0) + w
         if not weights:
             return []
-        hashes = sorted(weights)
-        pdf = self._fetch_blocks(hashes)
-        if pdf is None:
-            return []
-        k1, b = self.cfg["k1"], self.cfg["b"]
-        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
-        acc: dict[int, int] = {}
-        for th, g in pdf.groupby("term_hash"):
-            df_t = int(g["df"].iloc[0])
-            idf = bm25_idf(df_t, n_docs)
-            w = weights[int(th)]
-            for r in g.itertuples(index=False):
-                d, tfs, dls = _decode_block(r.doc_ids, r.tfs, r.dls)
-                tf_f = tfs.astype(np.float64)
-                tf_norm = tf_f / (
-                    tf_f + k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / avgdl)
+        parts = []
+        for h in sorted(weights):
+            p = self._term_scored(h)
+            if p is not None:
+                # weight multiplies the FLOAT contribution, THEN the
+                # round — same association as bm25_topk_weighted
+                parts.append(
+                    (
+                        p[0],
+                        np.floor(
+                            (p[1] * weights[h]) * float(FIXED_POINT_SCALE)
+                            + 0.5
+                        ).astype(np.int64),
+                    )
                 )
-                contrib = (idf * (k1 + 1.0) * tf_norm) * w
-                fixed = np.floor(
-                    contrib * float(FIXED_POINT_SCALE) + 0.5
-                ).astype(np.int64)
-                for doc, fx in zip(d.tolist(), fixed.tolist()):
-                    acc[doc] = acc.get(doc, 0) + fx
+        if not parts:
+            return []
+        uniq, sums = self._accumulate_fixed(parts)
+        acc = dict(zip(uniq.tolist(), sums.tolist()))
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         results = [
             {

@@ -96,13 +96,22 @@ def _decode_blocks_batch(t: dict, sel: list[int]) -> tuple:
     return d, tfs, dls
 
 
-def _contribs_fixed(
+def _contribs_float(
     idf: float, tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float
 ) -> np.ndarray:
+    """Unrounded per-posting BM25 contribution — the association order
+    here IS the cross-engine contract (see CLAUDE.md); every fixed-
+    point path rounds THIS value, possibly after a weight multiply."""
     tfs_f = tfs.astype(np.float64)
     dls_f = dls.astype(np.float64)
     tf_norm = tfs_f / (tfs_f + k1 * ((1.0 - b) + (b * dls_f) / avgdl))
-    contrib = idf * (k1 + 1.0) * tf_norm
+    return idf * (k1 + 1.0) * tf_norm
+
+
+def _contribs_fixed(
+    idf: float, tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    contrib = _contribs_float(idf, tfs, dls, k1, b, avgdl)
     return np.floor(contrib * float(FIXED_POINT_SCALE) + 0.5).astype(np.int64)
 
 
