@@ -175,6 +175,113 @@ class LocalIVF:
         return [int(i) for i in ids[top]]
 
 
+class LocalVamana:
+    """Driver-local beam search over a persistent Vamana index
+    (ops/vamana layout) — same candidates() surface as LocalIVF, so
+    the hybrid serving path can use either index type.  Per query,
+    only the n_probe routed shards' partitions are read (memoized
+    per-list fragment map, footers cached); each probed shard's graph
+    is kept decoded in a bounded cache (the reference's mmap'd shard,
+    query_disk_index.rs:73-81)."""
+
+    def __init__(self, vamana_dir: str):
+        from ..common.vecmath import l2_normalize
+        from ..ops.vamana import load_vamana_manifest
+
+        self.manifest = load_vamana_manifest(vamana_dir)
+        cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
+        self._cn = l2_normalize(cents)
+        self._ds = ds.dataset(
+            os.path.join(vamana_dir, "shards"),
+            format="parquet",
+            partitioning="hive",
+        )
+        self._frags_by_list: dict[int, list] = {}
+        n_frags = 0
+        for frag in self._ds.get_fragments():
+            n_frags += 1
+            lid = _partition_value(frag, "list_id")
+            if lid is not None:
+                self._frags_by_list.setdefault(int(lid), []).append(frag)
+        if n_frags and not self._frags_by_list:
+            raise ValueError(
+                f"no list_id=N partition key found in any of {n_frags} "
+                f"Vamana fragments under {vamana_dir}"
+            )
+        # shard id -> (gids, unit matrix, adjacency, start); bounded
+        self._shards: dict[int, tuple] = {}
+        self._shard_cap = 64
+
+    def _shard(self, lid: int):
+        from ..common.vecmath import l2_normalize
+
+        if lid in self._shards:
+            return self._shards[lid]
+        import pyarrow as pa
+
+        tables = [
+            f.to_table(
+                columns=["vec_id", "embedding", "neighbors", "is_medoid"]
+            )
+            for f in self._frags_by_list.get(lid, [])
+        ]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            self._shards[lid] = None
+            return None
+        t = pa.concat_tables(tables)
+        pdf = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        gids = pdf["vec_id"].to_numpy(np.int64)
+        vm = l2_normalize(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        )
+        pos = {int(g): i for i, g in enumerate(gids)}
+        adj = [
+            np.fromiter(
+                (pos[int(x)] for x in row if int(x) in pos), dtype=np.int64
+            )
+            for row in pdf["neighbors"]
+        ]
+        med = pdf.index[pdf["is_medoid"]]
+        start = int(med[0]) if len(med) else 0
+        if len(self._shards) >= self._shard_cap:
+            self._shards.clear()
+        entry = (gids, vm, adj, start)
+        self._shards[lid] = entry
+        return entry
+
+    def candidates(
+        self, qvec, k: int = 50, n_probe: int = 2
+    ) -> list[int]:
+        """Top-k candidate vec_ids by beam search over the routed
+        shards; ties on vec_id, duplicates collapse to best score."""
+        from ..ops.vamana import _greedy_search
+
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        probe = np.argsort(-(self._cn @ qn), kind="stable")[:n_probe]
+        beam = max(int(self.manifest["beam"]), k)
+        ids_parts, d_parts = [], []
+        for lid in probe:
+            sh = self._shard(int(lid))
+            if sh is None:
+                continue
+            gids, vm, adj, start = sh
+            vis, vis_d = _greedy_search(vm, adj, qn, start, beam)
+            ids_parts.append(gids[vis])
+            d_parts.append(vis_d)
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        score = 1.0 - np.concatenate(d_parts)
+        order = np.lexsort((ids, -score))
+        ids, score = ids[order], score[order]
+        first = np.unique(ids, return_index=True)[1]
+        ids, score = ids[first], score[first]
+        top = np.lexsort((ids, -score))[:k]
+        return [int(i) for i in ids[top]]
+
+
 class LocalSearcher:
     """Low-latency top-k BM25 search over a segments directory."""
 
@@ -467,13 +574,22 @@ class LocalSearcher:
         ]
         return self._attach_urls(results) if with_urls else results
 
-    _IVF_CACHE: dict[str, "LocalIVF"] = {}
+    _IVF_CACHE: dict[str, object] = {}
     _EMB_DS_CACHE: dict[str, ds.Dataset] = {}
 
-    def _ivf(self, ivf_dir: str) -> "LocalIVF":
+    def _ivf(self, ivf_dir: str):
+        """Vector-index probe for the given dir — dispatches on the
+        manifest present (ivf_manifest.json -> LocalIVF,
+        vamana_manifest.json -> LocalVamana; both expose
+        candidates(qvec, k, n_probe))."""
         cache = LocalSearcher._IVF_CACHE
         if ivf_dir not in cache:
-            cache[ivf_dir] = LocalIVF(ivf_dir)
+            if os.path.exists(
+                os.path.join(ivf_dir, "vamana_manifest.json")
+            ):
+                cache[ivf_dir] = LocalVamana(ivf_dir)
+            else:
+                cache[ivf_dir] = LocalIVF(ivf_dir)
         return cache[ivf_dir]
 
     def _vectors_for(

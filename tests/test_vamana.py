@@ -188,3 +188,46 @@ def test_append_equals_cold_build(spark, emb_df, tmp_path):
         spark, app_dir, qpd, k=10, n_probe=4
     ).collect()))
     assert res_cold == res_app
+
+
+def test_local_vamana_serving(spark, emb_df, sf01_dir, tmp_path):
+    """LocalVamana: driver-local beam-search candidates (no Spark job)
+    with full-probe recall vs brute force, and the hybrid serving path
+    accepts a Vamana dir transparently (manifest dispatch)."""
+    from meme_search_engine_spark.gate import GATE_QUERIES, _built_index
+    from meme_search_engine_spark.query.serve import (
+        LocalSearcher,
+        LocalVamana,
+    )
+
+    out = str(tmp_path / "vam_serve")
+    vamana.build_vamana_index(
+        spark, emb_df, out, n_shards=4,
+        centroids=deterministic_centroids(emb_df, 4), r=16, beam=48,
+    )
+    qpd = _queries(emb_df, 5)
+    exact = cosine_topk_exact(
+        emb_df,
+        spark.createDataFrame(qpd, "query_id long, qvec array<float>"),
+        k=10,
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    lv = LocalVamana(out)
+    recalls = []
+    for _, row in qpd.iterrows():
+        got = set(lv.candidates(row["qvec"], k=10, n_probe=4))
+        t = truth[row["query_id"]]
+        recalls.append(len(got & t) / len(t))
+    assert np.mean(recalls) >= 0.9, recalls
+
+    searcher = LocalSearcher(_built_index(spark, sf01_dir))
+    qid, text, k = GATE_QUERIES[0]
+    res = searcher.search_hybrid(
+        text, qpd.iloc[0]["qvec"], f"{sf01_dir}/embeddings.parquet",
+        k=k, ivf_dir=out, n_probe=4,
+    )
+    assert len(res) == k
+    assert [r["rank"] for r in res] == list(range(1, k + 1))
