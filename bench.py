@@ -92,21 +92,31 @@ def main() -> None:
         from meme_search_engine_spark.query.serve import LocalSearcher
 
         searcher = LocalSearcher(idx_dir)
-        searcher.search("term0001")  # warm
+        searcher.search("term0001")  # warm the fragment map
         # per-query best-of-3 interleaved passes, then p50: a single
         # pass of ~8 queries is one hypervisor-noise draw per query
         # and swings 2-3x run to run; min-per-query measures the
-        # engine, p50-over-queries still reports the workload spread
+        # engine, p50-over-queries still reports the workload spread.
+        # Pass 0 is the COLD path (pruned parquet read + batched
+        # decode, term caches empty) and is reported separately —
+        # warm passes measure the decode-once postings cache.
         best: dict[int, float] = {}
-        for _ in range(3):
+        cold: list[float] = []
+        for p in range(3):
             for qid, text, k in gate.GATE_QUERIES:
                 t0 = time.time()
                 searcher.search(text, k)
                 dt = time.time() - t0
+                if p == 0:
+                    cold.append(dt)
                 if qid not in best or dt < best[qid]:
                     best[qid] = dt
         lat = sorted(best.values())
         extras["serve_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
+        cold.sort()
+        extras["serve_cold_p50_ms"] = round(
+            1000 * cold[len(cold) // 2], 2
+        )
 
         timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect(), repeats=2)
         timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect(), repeats=2)
@@ -177,17 +187,24 @@ def main() -> None:
             big_queries = generate_queries(n_big)[:16]
             big_searcher.search(big_queries[0]["text"])  # warm
             best_q: dict[int, float] = {}
-            for _ in range(3):
+            cold_q: list[float] = []
+            for p in range(3):
                 for q in big_queries:
                     t0 = time.time()
                     big_searcher.search(q["text"], q["k"])
                     dt = time.time() - t0
+                    if p == 0:
+                        cold_q.append(dt)
                     qid = q["query_id"]
                     if qid not in best_q or dt < best_q[qid]:
                         best_q[qid] = dt
             lat = sorted(best_q.values())
             extras["serve_p50_ms_100k"] = round(
                 1000 * lat[len(lat) // 2], 2
+            )
+            cold_q.sort()
+            extras["serve_cold_p50_ms_100k"] = round(
+                1000 * cold_q[len(cold_q) // 2], 2
             )
         finally:
             if last_idx is not None:
