@@ -177,3 +177,73 @@ def test_varbyte_continuation_boundary(values):
     assert varbyte_decode(varbyte_encode(arr)).tolist() == values
     small = np.minimum(arr, 127)
     assert varbyte_decode(varbyte_encode(small)).tolist() == small.tolist()
+
+
+def test_batched_block_decode_equals_per_block():
+    """_decode_blocks_batch == per-block _decode_block for arbitrary
+    block partitions of an ascending doc_id stream (hypothesis)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from meme_search_engine_spark.common.codecs import varbyte_encode
+    from meme_search_engine_spark.query.wand import (
+        _decode_block,
+        _decode_blocks_batch,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=2**33), min_size=1, max_size=60
+        ),
+        st.data(),
+    )
+    def run(gaps, data):
+        docs = np.cumsum(np.asarray(gaps, dtype=np.int64))
+        n = len(docs)
+        tfs = data.draw(
+            st.lists(
+                st.integers(1, 300), min_size=n, max_size=n
+            )
+        )
+        dls = data.draw(
+            st.lists(
+                st.integers(1, 5000), min_size=n, max_size=n
+            )
+        )
+        n_blocks = data.draw(st.integers(1, min(6, n)))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, n - 1),
+                    min_size=n_blocks - 1,
+                    max_size=n_blocks - 1,
+                    unique=True,
+                )
+            )
+        ) if n > 1 else []
+        bounds = [0] + cuts + [n]
+        t = {"n": [], "doc_ids": [], "tfs": [], "dls": []}
+        per_ids, per_tfs, per_dls = [], [], []
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            d = docs[s0:e0]
+            deltas = np.diff(np.concatenate(([0], d)))
+            b_doc = varbyte_encode(deltas)
+            b_tf = varbyte_encode(np.asarray(tfs[s0:e0]))
+            b_dl = varbyte_encode(np.asarray(dls[s0:e0]))
+            t["n"].append(e0 - s0)
+            t["doc_ids"].append(b_doc)
+            t["tfs"].append(b_tf)
+            t["dls"].append(b_dl)
+            pd_, pt, pl = _decode_block(b_doc, b_tf, b_dl)
+            per_ids.append(pd_)
+            per_tfs.append(pt)
+            per_dls.append(pl)
+        t["n"] = np.asarray(t["n"], dtype=np.int64)
+        bd, bt, bl = _decode_blocks_batch(t, list(range(len(bounds) - 1)))
+        assert (bd == np.concatenate(per_ids)).all()
+        assert (bt == np.concatenate(per_tfs)).all()
+        assert (bl == np.concatenate(per_dls)).all()
+        assert (bd == docs).all()
+
+    run()
