@@ -319,9 +319,14 @@ def vamana_search(
 ) -> DataFrame:
     """Beam search over the probed shards only.  The shard filter is a
     PARTITION filter (reads n_probe/n_shards of the index); each
-    probed shard runs its queries' beam searches inside mapInPandas
-    and emits at most k rows per query; the global merge is a tiny
-    window.  `stats`: pass a dict to receive visited-fraction
+    probed shard runs its queries' beam searches inside ONE
+    applyInPandas group — keyed by list_id, because a mapInPandas over
+    the raw scan would see shards SPLIT across input partitions once a
+    shard outgrows maxPartitionBytes, and a fragment of a graph beam-
+    searches with broken adjacency (silent recall loss at scale).  The
+    group shuffle moves only the pruned n_probe/n_shards fraction.
+    Emits at most k rows per (shard, query); the global merge is a
+    tiny window.  `stats`: pass a dict to receive visited-fraction
     telemetry (driver-side, test/diagnostic use)."""
     manifest = load_vamana_manifest(out_dir)
     beam = beam if beam is not None else int(manifest["beam"])
@@ -350,50 +355,40 @@ def vamana_search(
         F.col("list_id").isin(wanted)  # partition pruning
     )
 
-    def kernel(batches):
-        # one shard's rows may span several Arrow batches: buffer per
-        # list_id, flush complete shards (mapInPandas feeds whole
-        # partitions; each list_id is one partition dir)
-        buf: dict[int, list[pd.DataFrame]] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for lid, g in pdf.groupby("list_id"):
-                buf.setdefault(int(lid), []).append(g)
-        for lid, parts in buf.items():
-            sh = pd.concat(parts, ignore_index=True)
-            sh = sh.sort_values("vec_id").reset_index(drop=True)
-            gids = sh["vec_id"].to_numpy(np.int64)
-            vm = l2_normalize(
-                np.stack(sh["embedding"].to_numpy()).astype(np.float64)
+    def search_shard(key, sh):
+        lid = int(key[0])
+        sh = sh.sort_values("vec_id").reset_index(drop=True)
+        gids = sh["vec_id"].to_numpy(np.int64)
+        vm = l2_normalize(
+            np.stack(sh["embedding"].to_numpy()).astype(np.float64)
+        )
+        pos = {int(g): i for i, g in enumerate(gids)}
+        adj = [
+            np.fromiter(
+                (pos[int(x)] for x in row if int(x) in pos),
+                dtype=np.int64,
             )
-            pos = {int(g): i for i, g in enumerate(gids)}
-            adj = [
-                np.fromiter(
-                    (pos[int(x)] for x in row if int(x) in pos),
-                    dtype=np.int64,
-                )
-                for row in sh["neighbors"]
-            ]
-            med = sh.index[sh["is_medoid"]]
-            start = int(med[0]) if len(med) else 0
-            out_q, out_v, out_c = [], [], []
-            for qi in shard_queries.get(lid, []):
-                q = np.asarray(qn_list[qi], dtype=np.float64)
-                vis_ids, vis_d = _greedy_search(vm, adj, q, start, beam_eff)
-                counters.add(int(len(vis_ids)))
-                total_rows.add(int(len(gids)))
-                kk = min(k_eff, len(vis_ids))
-                top = np.lexsort((gids[vis_ids], vis_d))[:kk]
-                out_q.extend([int(qids[qi])] * kk)
-                out_v.extend(gids[vis_ids[top]].tolist())
-                out_c.extend((1.0 - vis_d[top]).tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
-            )
+            for row in sh["neighbors"]
+        ]
+        med = sh.index[sh["is_medoid"]]
+        start = int(med[0]) if len(med) else 0
+        out_q, out_v, out_c = [], [], []
+        for qi in shard_queries.get(lid, []):
+            q = np.asarray(qn_list[qi], dtype=np.float64)
+            vis_ids, vis_d = _greedy_search(vm, adj, q, start, beam_eff)
+            counters.add(int(len(vis_ids)))
+            total_rows.add(int(len(gids)))
+            kk = min(k_eff, len(vis_ids))
+            top = np.lexsort((gids[vis_ids], vis_d))[:kk]
+            out_q.extend([int(qids[qi])] * kk)
+            out_v.extend(gids[vis_ids[top]].tolist())
+            out_c.extend((1.0 - vis_d[top]).tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+        )
 
-    partial = shards.mapInPandas(
-        kernel, "query_id long, vec_id long, cosine double"
+    partial = shards.groupBy("list_id").applyInPandas(
+        search_shard, "query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

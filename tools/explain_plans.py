@@ -188,9 +188,11 @@ def main() -> None:
     sections.append((
         "Vamana graph ANN beam search (sharded DiskANN analogue)",
         "want: scan shows PartitionFilters on list_id (only the probed "
-        "shards' graph partitions are read); queries ride the broadcast "
-        "plan; MapInPandas runs each shard's beam search emitting <= k "
-        "rows per query; tiny (query_id) window merge",
+        "shards' graph partitions are read); ONE exchange keyed list_id "
+        "feeding FlatMapGroupsInPandas — whole-shard groups, because a "
+        "split shard beam-searches a broken graph (mapInPandas would "
+        "fragment shards at maxPartitionBytes); <= k rows per "
+        "(shard, query); tiny (query_id) window merge",
         fmt(vs),
     ))
 
