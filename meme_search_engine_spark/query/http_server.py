@@ -35,6 +35,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .serve import LocalSearcher
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5: a 100-concurrent
+    # client burst (the reference's perf_test.py shape) overflows it
+    # and connections get RST before accept.  The reference's tokio
+    # listener has no such cap; match it.
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class PresetStore:
     """Named term-weight presets persisted next to the index —
     the reference's predefined_embeddings table (main.rs:102-127):
@@ -265,7 +274,7 @@ class SearchServer:
     ):
         self.searcher = LocalSearcher(index_dir)
         self.presets = PresetStore(index_dir)
-        self._httpd = ThreadingHTTPServer(
+        self._httpd = _Server(
             (host, port),
             make_handler(
                 self.searcher, self.presets, embeddings_path, ivf_dir=ivf_dir
