@@ -274,3 +274,87 @@ def incremental_vamana_update(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_index_pipeline(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    workdir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 0,
+    lang: str | None = None,
+):
+    """Continuous-ingest version of jobs/pipeline_job: per micro-batch
+    quality/language gates, exact dedup WITHIN the batch and against
+    everything already indexed (a fingerprint state table — the
+    streaming analogue of the reference's dedup ring,
+    dump_processor.rs:332-391), then text-index build (first batch) or
+    delta-cost epoch append (every later batch).  The streamed index
+    equals a cold batch pipeline over the union (pytest).
+
+    Contract inherited from append_to_index: doc_ids rise
+    monotonically across batches (warc_ts-ordered crawls).
+    Returns the StreamingQuery."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ..index.build import docs_from_pages
+    from ..index.builder import append_to_index, build_index
+    from ..ops import textstats
+    from ..ops.dedup import drop_exact_duplicates
+
+    idx_dir = os.path.join(workdir, "index")
+    fp_dir = os.path.join(workdir, "fingerprints")
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = docs_from_pages(batch_df)
+        keep = docs
+        if lang is not None:
+            pred = textstats.lang_id(keep).filter(
+                F.col("pred_lang") == lang
+            ).select("doc_id")
+            keep = keep.join(pred, "doc_id")
+        if min_tokens > 0:
+            q = textstats.quality_scores(keep).filter(
+                F.col("n_tokens") >= min_tokens
+            ).select("doc_id")
+            keep = keep.join(q, "doc_id")
+        keep = drop_exact_duplicates(keep)
+        keep = keep.withColumn(
+            "_fp", F.md5(F.col("text").cast("binary"))
+        )
+        if os.path.isdir(fp_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(fp_dir)
+        ):
+            seen = spark.read.parquet(fp_dir)
+            keep = keep.join(
+                seen, keep["_fp"] == seen["fingerprint"], "left_anti"
+            )
+        if keep.isEmpty():
+            return
+        if "doc_id" in batch_df.columns:
+            pages_kept = batch_df.join(
+                keep.select("doc_id"), "doc_id", "semi"
+            )
+        else:
+            pages_kept = batch_df.join(keep.select("url"), "url", "semi")
+        if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            append_to_index(spark, pages_kept, idx_dir)
+        else:
+            build_index(spark, pages_kept, idx_dir)
+        # commit fingerprints AFTER the index commit marker: a crash
+        # in between re-ingests the batch (append epoch reuse makes
+        # that idempotent) rather than silently dropping it
+        keep.select(F.col("_fp").alias("fingerprint")).write.mode(
+            "append"
+        ).parquet(fp_dir)
+
+    return (
+        pages_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

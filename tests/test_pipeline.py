@@ -2,6 +2,8 @@
 filter -> dedup -> index build (+ optional vector indexes), stage
 counts monotone, the built index queryable and duplicate-free."""
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -87,3 +89,72 @@ def test_pipeline_with_vector_indexes(spark, sf001_dir, tmp_path):
         spark, summary["ivf_dir"], qpd, k=5, n_probe=4
     ).collect()
     assert len(res) == 10
+
+
+def test_streaming_pipeline_equals_batch(spark, sf001_dir, tmp_path):
+    """Two ingest waves through streaming_index_pipeline (gates +
+    cross-batch exact dedup + build-then-append) must serve queries
+    rank-identically to the batch run_pipeline over the union."""
+    import pyspark.sql.functions as F
+
+    from jobs.pipeline_job import run_pipeline
+    from meme_search_engine_spark.gate import GATE_QUERIES
+    from meme_search_engine_spark.index.postings import IndexConfig
+    from meme_search_engine_spark.query.serve import LocalSearcher
+    from meme_search_engine_spark.streaming.windows import (
+        streaming_index_pipeline,
+    )
+
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    wave1 = base.filter(F.col("doc_id") < 300)
+    # wave 2: new docs plus exact duplicates of wave-1 texts under
+    # HIGHER doc_ids (cross-batch dedup must drop them)
+    dups = (
+        base.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(800000))
+    )
+    wave2 = base.filter(F.col("doc_id") >= 300).unionByName(dups)
+
+    stream_src = str(tmp_path / "ingest")
+    work = str(tmp_path / "stream_work")
+    ckpt = str(tmp_path / "ckpt_pipe")
+
+    wave1.write.mode("append").parquet(stream_src)
+    schema = spark.read.parquet(stream_src).schema
+
+    def run_wave():
+        q = streaming_index_pipeline(
+            spark,
+            spark.readStream.schema(schema).parquet(stream_src),
+            work,
+            ckpt,
+            min_tokens=5,
+        )
+        q.awaitTermination(300)
+
+    run_wave()
+    wave2.write.mode("append").parquet(stream_src)
+    run_wave()
+
+    batch_work = str(tmp_path / "batch_work")
+    run_pipeline(
+        spark,
+        wave1.unionByName(wave2),
+        batch_work,
+        min_tokens=5,
+        dedup="exact",
+    )
+
+    s_stream = LocalSearcher(os.path.join(work, "index"))
+    s_batch = LocalSearcher(os.path.join(batch_work, "index"))
+    assert s_stream.stats["N"] == s_batch.stats["N"]
+    for qid, text, k in GATE_QUERIES:
+        a = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in s_stream.search(text, k)
+        ]
+        b = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in s_batch.search(text, k)
+        ]
+        assert a == b, text
