@@ -208,15 +208,18 @@ class LocalVamana:
                 f"no list_id=N partition key found in any of {n_frags} "
                 f"Vamana fragments under {vamana_dir}"
             )
-        # shard id -> (gids, unit matrix, adjacency, start); bounded
+        # shard id -> (gids, unit matrix, adjacency, start); bounded;
+        # locked: ThreadingHTTPServer handlers probe concurrently
         self._shards: dict[int, tuple] = {}
         self._shard_cap = 64
+        self._shard_lock = threading.Lock()
 
     def _shard(self, lid: int):
         from ..common.vecmath import l2_normalize
 
-        if lid in self._shards:
-            return self._shards[lid]
+        with self._shard_lock:
+            if lid in self._shards:
+                return self._shards[lid]
         import pyarrow as pa
 
         tables = [
@@ -227,7 +230,8 @@ class LocalVamana:
         ]
         tables = [t for t in tables if t.num_rows]
         if not tables:
-            self._shards[lid] = None
+            with self._shard_lock:
+                self._shards[lid] = None
             return None
         t = pa.concat_tables(tables)
         pdf = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
@@ -244,10 +248,11 @@ class LocalVamana:
         ]
         med = pdf.index[pdf["is_medoid"]]
         start = int(med[0]) if len(med) else 0
-        if len(self._shards) >= self._shard_cap:
-            self._shards.clear()
         entry = (gids, vm, adj, start)
-        self._shards[lid] = entry
+        with self._shard_lock:
+            if len(self._shards) >= self._shard_cap:
+                self._shards.clear()
+            self._shards[lid] = entry
         return entry
 
     def candidates(
