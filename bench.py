@@ -91,32 +91,39 @@ def main() -> None:
         # launch, not the engine)
         from meme_search_engine_spark.query.serve import LocalSearcher
 
-        searcher = LocalSearcher(idx_dir)
-        searcher.search("term0001")  # warm the fragment map
-        # per-query best-of-3 interleaved passes, then p50: a single
-        # pass of ~8 queries is one hypervisor-noise draw per query
-        # and swings 2-3x run to run; min-per-query measures the
-        # engine, p50-over-queries still reports the workload spread.
-        # Pass 0 is the COLD path (pruned parquet read + batched
-        # decode, term caches empty) and is reported separately —
-        # warm passes measure the decode-once postings cache.
-        best: dict[int, float] = {}
+        # COLD pass: a FRESH searcher (empty term caches) whose only
+        # prior work is the fragment-map warm-up on a term no gate
+        # query uses — each query pays the pruned parquet read +
+        # batched decode for terms not already pulled in by an
+        # EARLIER gate query (the residual intra-pass overlap is the
+        # workload's own term reuse, reported as-is)
+        cold_searcher = LocalSearcher(idx_dir)
+        cold_searcher.search("zzzwarmupterm")  # fragment map only
         cold: list[float] = []
-        for p in range(3):
-            for qid, text, k in gate.GATE_QUERIES:
-                t0 = time.time()
-                searcher.search(text, k)
-                dt = time.time() - t0
-                if p == 0:
-                    cold.append(dt)
-                if qid not in best or dt < best[qid]:
-                    best[qid] = dt
-        lat = sorted(best.values())
-        extras["serve_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
+        for qid, text, k in gate.GATE_QUERIES:
+            t0 = time.time()
+            cold_searcher.search(text, k)
+            cold.append(time.time() - t0)
         cold.sort()
         extras["serve_cold_p50_ms"] = round(
             1000 * cold[len(cold) // 2], 2
         )
+        # WARM path: per-query best-of-3 interleaved passes, then p50:
+        # a single pass of ~8 queries is one hypervisor-noise draw per
+        # query and swings 2-3x run to run; min-per-query measures the
+        # decode-once postings cache, p50-over-queries the spread
+        searcher = LocalSearcher(idx_dir)
+        searcher.search("term0001")  # warm
+        best: dict[int, float] = {}
+        for _ in range(3):
+            for qid, text, k in gate.GATE_QUERIES:
+                t0 = time.time()
+                searcher.search(text, k)
+                dt = time.time() - t0
+                if qid not in best or dt < best[qid]:
+                    best[qid] = dt
+        lat = sorted(best.values())
+        extras["serve_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
 
         timed("doc_stats", lambda: gate.q_doc_stats(spark, sf_dir).collect(), repeats=2)
         timed("term_df_top", lambda: gate.q_term_df_top(spark, sf_dir).collect(), repeats=2)
@@ -183,28 +190,32 @@ def main() -> None:
             # this near the 5k-doc number)
             from meme_search_engine_spark.datagen import generate_queries
 
-            big_searcher = LocalSearcher(last_idx)
             big_queries = generate_queries(n_big)[:16]
+            cold_big = LocalSearcher(last_idx)
+            cold_big.search("zzzwarmupterm")  # fragment map only
+            cold_q: list[float] = []
+            for q in big_queries:
+                t0 = time.time()
+                cold_big.search(q["text"], q["k"])
+                cold_q.append(time.time() - t0)
+            cold_q.sort()
+            extras["serve_cold_p50_ms_100k"] = round(
+                1000 * cold_q[len(cold_q) // 2], 2
+            )
+            big_searcher = LocalSearcher(last_idx)
             big_searcher.search(big_queries[0]["text"])  # warm
             best_q: dict[int, float] = {}
-            cold_q: list[float] = []
-            for p in range(3):
+            for _ in range(3):
                 for q in big_queries:
                     t0 = time.time()
                     big_searcher.search(q["text"], q["k"])
                     dt = time.time() - t0
-                    if p == 0:
-                        cold_q.append(dt)
                     qid = q["query_id"]
                     if qid not in best_q or dt < best_q[qid]:
                         best_q[qid] = dt
             lat = sorted(best_q.values())
             extras["serve_p50_ms_100k"] = round(
                 1000 * lat[len(lat) // 2], 2
-            )
-            cold_q.sort()
-            extras["serve_cold_p50_ms_100k"] = round(
-                1000 * cold_q[len(cold_q) // 2], 2
             )
         finally:
             if last_idx is not None:

@@ -199,8 +199,15 @@ def compact_ivf_index(spark: SparkSession, out_dir: str) -> dict:
     manifest = load_ivf_manifest(out_dir)
     lists_dir = os.path.join(out_dir, "lists")
     tmp = os.path.join(out_dir, "lists.tmp")
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    old = os.path.join(out_dir, "lists.old")
+    # crash recovery: a death between the two renames below leaves no
+    # lists/ but a populated lists.old — restore it first, so a
+    # retried compact always starts from a servable index
+    if not os.path.isdir(lists_dir) and os.path.isdir(old):
+        os.rename(old, lists_dir)
+    for p_ in (tmp, old):
+        if os.path.isdir(p_):
+            shutil.rmtree(p_)
     (
         spark.read.parquet(lists_dir)
         .dropDuplicates(["list_id", "vec_id"])
@@ -209,7 +216,6 @@ def compact_ivf_index(spark: SparkSession, out_dir: str) -> dict:
         .mode("overwrite")
         .parquet(tmp)
     )
-    old = os.path.join(out_dir, "lists.old")
     os.rename(lists_dir, old)
     os.rename(tmp, lists_dir)
     shutil.rmtree(old)

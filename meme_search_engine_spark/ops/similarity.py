@@ -67,8 +67,9 @@ def partial_topk_indices(
     equal codes always score equal).  O(B) per query via a threshold
     partition, not a full sort."""
     n, q = scores.shape
+    kk = min(kk, n)  # cannot return more rows than exist
     idx = np.empty((kk, q), dtype=np.int64)
-    if kk >= n:
+    if kk == n:
         idx[:] = np.arange(n)[:, None]
         return idx
     for qi in range(q):

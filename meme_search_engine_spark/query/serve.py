@@ -47,6 +47,28 @@ _BLOCK_COLUMNS = [
     "doc_ids", "tfs", "dls", "block_max_tfnorm", "max_tf", "min_dl",
 ]
 
+def _hive_fragment_map(
+    root: str, key: str, what: str
+) -> tuple[ds.Dataset, dict[int, list]]:
+    """(dataset, {partition value -> fragments}) for a hive-partitioned
+    dir; raises loudly when fragments exist but none carry the key
+    (silently answering every query with zero results is worse)."""
+    dataset = ds.dataset(root, format="parquet", partitioning="hive")
+    frags: dict[int, list] = {}
+    n = 0
+    for frag in dataset.get_fragments():
+        n += 1
+        v = _partition_value(frag, key)
+        if v is not None:
+            frags.setdefault(int(v), []).append(frag)
+    if n and not frags:
+        raise ValueError(
+            f"no {key}=N partition key found in any of {n} "
+            f"{what} fragments under {root}"
+        )
+    return dataset, frags
+
+
 _IVF_STORAGE_COLS = {
     "fp32": "embedding",
     "fp16": "embedding_fp16",
@@ -80,23 +102,9 @@ class LocalIVF:
             raise ValueError(f"unknown IVF storage {self.storage!r}")
         cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
         self._cn = l2_normalize(cents)
-        self._ds = ds.dataset(
-            os.path.join(ivf_dir, "lists"),
-            format="parquet",
-            partitioning="hive",
+        self._ds, self._frags_by_list = _hive_fragment_map(
+            os.path.join(ivf_dir, "lists"), "list_id", "IVF"
         )
-        self._frags_by_list: dict[int, list] = {}
-        n_frags = 0
-        for frag in self._ds.get_fragments():
-            n_frags += 1
-            lid = _partition_value(frag, "list_id")
-            if lid is not None:
-                self._frags_by_list.setdefault(int(lid), []).append(frag)
-        if n_frags and not self._frags_by_list:
-            raise ValueError(
-                f"no list_id=N partition key found in any of {n_frags} "
-                f"IVF fragments under {ivf_dir}"
-            )
 
     def candidates(
         self, qvec, k: int = 50, n_probe: int = 8
@@ -191,23 +199,9 @@ class LocalVamana:
         self.manifest = load_vamana_manifest(vamana_dir)
         cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
         self._cn = l2_normalize(cents)
-        self._ds = ds.dataset(
-            os.path.join(vamana_dir, "shards"),
-            format="parquet",
-            partitioning="hive",
+        self._ds, self._frags_by_list = _hive_fragment_map(
+            os.path.join(vamana_dir, "shards"), "list_id", "Vamana"
         )
-        self._frags_by_list: dict[int, list] = {}
-        n_frags = 0
-        for frag in self._ds.get_fragments():
-            n_frags += 1
-            lid = _partition_value(frag, "list_id")
-            if lid is not None:
-                self._frags_by_list.setdefault(int(lid), []).append(frag)
-        if n_frags and not self._frags_by_list:
-            raise ValueError(
-                f"no list_id=N partition key found in any of {n_frags} "
-                f"Vamana fragments under {vamana_dir}"
-            )
         # shard id -> (gids, unit matrix, adjacency, start); bounded;
         # locked: ThreadingHTTPServer handlers probe concurrently
         self._shards: dict[int, tuple] = {}
@@ -295,31 +289,15 @@ class LocalSearcher:
             self.manifest = json.load(fh)
         self.cfg = self.manifest["config"]
         self.stats = self.manifest["stats"]
-        self._dataset = ds.dataset(
-            os.path.join(index_dir, "segments"),
-            format="parquet",
-            partitioning="hive",
-        )
         # memoized partition pruning: walking the dataset's fragment
         # list and re-evaluating hive partition expressions PER QUERY
         # grows with index size (the r02 serve_p50 regression at 100k
         # docs); resolve bucket -> fragments ONCE here.  Fragment
         # objects cache their parquet footer after first use, so
         # repeated queries also skip footer re-reads.
-        self._frags_by_bucket: dict[int, list] = {}
-        n_frags = 0
-        for frag in self._dataset.get_fragments():
-            n_frags += 1
-            bucket = _partition_value(frag, "bucket")
-            if bucket is not None:
-                self._frags_by_bucket.setdefault(int(bucket), []).append(frag)
-        if n_frags and not self._frags_by_bucket:
-            # fail loudly rather than silently answering every query
-            # with zero results off an unrecognized layout
-            raise ValueError(
-                f"no bucket=N partition key found in any of {n_frags} "
-                f"segment fragments under {index_dir}"
-            )
+        self._dataset, self._frags_by_bucket = _hive_fragment_map(
+            os.path.join(index_dir, "segments"), "bucket", "segment"
+        )
         self._docmeta_dir = os.path.join(index_dir, "docmeta")
         # per-term posting-block cache: the index dir is immutable
         # (appends write NEW epoch dirs and a NEW manifest; a searcher
@@ -339,6 +317,10 @@ class LocalSearcher:
         self._scored_cache: dict[int, tuple | None] = {}
         self._scored_postings = 0
         self._scored_postings_cap = 50_000_000  # ~0.8 GB worst case
+        # entry-count cap too: absent terms cache as None (zero
+        # postings) and would otherwise grow unboundedly under
+        # diverse junk-term traffic
+        self._scored_entries_cap = 200_000
 
     def _fetch_blocks(self, hashes: list[int]) -> pd.DataFrame | None:
         """Pruned block read for a query's term hashes: bucket pruning
@@ -388,6 +370,20 @@ class LocalSearcher:
             return None
         return pd.concat(frames, ignore_index=True)
 
+    def _prefetch_terms(self, hashes: list[int]) -> None:
+        """One batched _fetch_blocks over every hash not yet in the
+        decoded cache: the cold path reads each bucket's fragments
+        ONCE per query instead of once per term (terms sharing a
+        bucket share the scan)."""
+        with self._term_cache_lock:
+            missing = [
+                h
+                for h in hashes
+                if h not in self._scored_cache and h not in self._term_cache
+            ]
+        if missing:
+            self._fetch_blocks(missing)
+
     def _term_scored(self, h: int):
         """(doc_ids int64[], contrib float64[]) over EVERY posting of
         term `h` (all epochs), decoded ONCE and cached; None = absent.
@@ -419,9 +415,12 @@ class LocalSearcher:
             entry = (d, c)
         with self._term_cache_lock:
             if (
-                entry is not None
-                and self._scored_postings + len(entry[0])
-                > self._scored_postings_cap
+                len(self._scored_cache) >= self._scored_entries_cap
+                or (
+                    entry is not None
+                    and self._scored_postings + len(entry[0])
+                    > self._scored_postings_cap
+                )
             ):
                 self._scored_cache.clear()
                 self._scored_postings = 0
@@ -444,7 +443,15 @@ class LocalSearcher:
         ids = np.concatenate([p[0] for p in parts])
         cs = np.concatenate([p[1] for p in parts])
         lo, hi = int(ids.min()), int(ids.max())
-        if lo >= 0 and hi < max(4 * len(ids), 1 << 22):
+        # the bincount fast path accumulates int64 in float64: exact
+        # only while every per-doc SUM stays < 2^53.  Bound it by
+        # max|contrib| * n_terms (a doc appears once per term);
+        # weighted queries with huge weights overflow this and take
+        # the exact int64 reduceat path instead.
+        exact_in_f64 = (
+            int(np.abs(cs).max()) < (1 << 52) // max(len(parts), 1)
+        )
+        if lo >= 0 and hi < max(4 * len(ids), 1 << 22) and exact_in_f64:
             sums_f = np.bincount(
                 ids, weights=cs.astype(np.float64), minlength=hi + 1
             )
@@ -487,6 +494,7 @@ class LocalSearcher:
         from ..common.bm25 import FIXED_POINT_SCALE
 
         hashes = sorted({term_hash(t) for t in tokenize(text)})
+        self._prefetch_terms(hashes)
         parts = []
         for h in hashes:
             p = self._term_scored(h)
@@ -627,6 +635,7 @@ class LocalSearcher:
         from ..common.bm25 import FIXED_POINT_SCALE
 
         hashes = sorted({term_hash(t) for t in tokenize(text)})
+        self._prefetch_terms(hashes)
         parts = []
         for h in hashes:
             p = self._term_scored(h)
@@ -671,7 +680,15 @@ class LocalSearcher:
         space as the batch engine.  score_fixed-identical to
         hybrid_topk_pruned(vec_candidates=ivf_search(...)) with the
         same C/n_probe (pytest-verified).  Candidates with no row in
-        the embedding table drop out, matching the batch inner join."""
+        the embedding table drop out, matching the batch inner join.
+
+        Caveat (inherent to float candidate scores): the IVF candidate
+        CUT at k=n_candidates ranks by numpy GEMM cosines while the
+        batch ivf_search ranks by the JVM fold — a ~1-ulp disagreement
+        exactly at the boundary could admit different candidates.  On
+        real-valued embeddings this needs two distinct vectors within
+        float rounding of each other at exactly the cut; the fused
+        rerank itself is integer-exact either way."""
         import numpy as np
 
         from ..common.bm25 import FIXED_POINT_SCALE
@@ -738,6 +755,7 @@ class LocalSearcher:
                 weights[h] = weights.get(h, 0.0) + w
         if not weights:
             return []
+        self._prefetch_terms(sorted(weights))
         parts = []
         for h in sorted(weights):
             p = self._term_scored(h)

@@ -304,6 +304,15 @@ def streaming_index_pipeline(
     from ..ops import textstats
     from ..ops.dedup import drop_exact_duplicates
 
+    if "doc_id" not in pages_stream.columns:
+        # xxhash64(url)-derived ids are NOT monotonic, so a second
+        # batch would violate append_to_index's rising-doc_id
+        # contract; continuous ingest needs the source to carry its
+        # own monotone ids (warc_ts-ordered crawls do)
+        raise ValueError(
+            "streaming_index_pipeline requires a doc_id column with "
+            "monotonically increasing ids across batches"
+        )
     idx_dir = os.path.join(workdir, "index")
     fp_dir = os.path.join(workdir, "fingerprints")
 
@@ -333,24 +342,28 @@ def streaming_index_pipeline(
             keep = keep.join(
                 seen, keep["_fp"] == seen["fingerprint"], "left_anti"
             )
-        if keep.isEmpty():
-            return
-        if "doc_id" in batch_df.columns:
+        # the gates + dedup lineage (UDF extraction, window, anti-
+        # join) is consumed three times below — materialize it once
+        keep = keep.select("doc_id", "_fp").persist()
+        try:
+            if keep.isEmpty():
+                return
             pages_kept = batch_df.join(
                 keep.select("doc_id"), "doc_id", "semi"
             )
-        else:
-            pages_kept = batch_df.join(keep.select("url"), "url", "semi")
-        if os.path.exists(os.path.join(idx_dir, "manifest.json")):
-            append_to_index(spark, pages_kept, idx_dir)
-        else:
-            build_index(spark, pages_kept, idx_dir)
-        # commit fingerprints AFTER the index commit marker: a crash
-        # in between re-ingests the batch (append epoch reuse makes
-        # that idempotent) rather than silently dropping it
-        keep.select(F.col("_fp").alias("fingerprint")).write.mode(
-            "append"
-        ).parquet(fp_dir)
+            if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+                append_to_index(spark, pages_kept, idx_dir)
+            else:
+                build_index(spark, pages_kept, idx_dir)
+            # commit fingerprints AFTER the index commit marker: a
+            # crash in between re-ingests the batch (append epoch
+            # reuse makes that idempotent) rather than silently
+            # dropping it
+            keep.select(F.col("_fp").alias("fingerprint")).write.mode(
+                "append"
+            ).parquet(fp_dir)
+        finally:
+            keep.unpersist()
 
     return (
         pages_stream.writeStream.foreachBatch(upsert)

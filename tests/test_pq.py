@@ -441,3 +441,32 @@ def test_ivf_search_exact_rerank(spark, emb_df, tmp_path):
         key = (r["query_id"], r["vec_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-12
+
+
+def test_compact_ivf_crash_recovery(spark, emb_df, tmp_path):
+    """A crash between the two swap renames leaves lists.old and no
+    lists/; a retried compact must restore and proceed."""
+    import os
+    import shutil
+
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+
+    out = str(tmp_path / "ivf_crash")
+    ivf_index.build_ivf_index(
+        spark, emb_df, out, spill=1,
+        centroids=deterministic_centroids(emb_df, 8), storage="fp16",
+    )
+    qpd = _queries(emb_df, 2)
+    before = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    # simulate the mid-swap crash state
+    os.rename(os.path.join(out, "lists"), os.path.join(out, "lists.old"))
+    shutil.rmtree(os.path.join(out, "lists.tmp"), ignore_errors=True)
+
+    ivf_index.compact_ivf_index(spark, out)
+    assert os.path.isdir(os.path.join(out, "lists"))
+    assert not os.path.isdir(os.path.join(out, "lists.old"))
+    after = ivf_index.ivf_search(spark, out, qpd, k=10, n_probe=4).toPandas()
+    assert before.values.tolist() == after.values.tolist()
