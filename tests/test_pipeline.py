@@ -158,3 +158,29 @@ def test_streaming_pipeline_equals_batch(spark, sf001_dir, tmp_path):
             for r in s_batch.search(text, k)
         ]
         assert a == b, text
+
+
+def test_streaming_pipeline_rejects_url_only_stream(spark, sf001_dir, tmp_path):
+    """url-derived doc_ids are not monotonic, so the streaming pipeline
+    must refuse streams without a doc_id column up front (batch 2 would
+    otherwise die on the append contract)."""
+    import pytest as _pytest
+
+    from meme_search_engine_spark.streaming.windows import (
+        streaming_index_pipeline,
+    )
+
+    src = str(tmp_path / "u_src")
+    (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .selectExpr("cast(doc_id as string) as url", "text", "lang")
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    with _pytest.raises(ValueError, match="doc_id"):
+        streaming_index_pipeline(
+            spark,
+            spark.readStream.schema(schema).parquet(src),
+            str(tmp_path / "u_work"),
+            str(tmp_path / "u_ckpt"),
+        )
