@@ -27,6 +27,10 @@ WEIGHTED_QUERIES = [
     (4, [("term0003", 1.0), ("term0003", 0.5)], 10),      # weight accumulation
     (5, [(rare_term(42), 10.0), ("term0001", 0.01)], 10),
     (6, [("zzznothing", 1.0)], 10),                        # absent
+    # huge weights: per-posting fixed contribs blow past float64's
+    # exact-integer range, forcing serve's exact reduceat accumulation
+    # (the bincount fast path would silently round)
+    (7, [("term0001", 50000.0), ("term0000", 40000.0)], 10),
 ]
 
 
