@@ -200,7 +200,12 @@ def pq_adc_topk_gate(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
         .toPandas()
     )
-    out = pq_adc_topk(codes, books, qpd, k=10)
+    # quantize_scale=1e4: per-subspace LUT entries are fixed-point
+    # BEFORE summation, so both engines rank exact integer sums — an
+    # unquantized float sum has engine-specific association order and
+    # can flip near-tied ADC ranks (r4 ADVICE).  _SQL_PQ_ADC sums the
+    # same rounded BIGINTs — change together.
+    out = pq_adc_topk(codes, books, qpd, k=10, quantize_scale=1e4)
     return out.select(
         "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
     )
@@ -374,9 +379,14 @@ enc AS (  -- argmin_k (-2 s.c + c.c): np.argmin tie-break = first k
   WHERE rn = 1
 ),
 q AS (SELECT vec_id AS query_id, v AS qv FROM normv WHERE vec_id < 3),
-scored AS (  -- ADC: sum_j <q_sub_j, codeword(j, code_j)>
+scored AS (  -- ADC: sum_j round(<q_sub_j, codeword(j, code_j)> * 1e4)
+  -- per-subspace fixed-point BEFORE the sum: exact BIGINT totals,
+  -- association-order-proof ranking (matches pq_adc_topk
+  -- quantize_scale=1e4 — change together)
   SELECT q.query_id, e.vec_id,
-         sum(list_dot_product(list_slice(q.qv, e.j*16+1, e.j*16+16), cw.c))
+         sum(CAST(round(list_dot_product(
+               list_slice(q.qv, e.j*16+1, e.j*16+16), cw.c) * 10000)
+             AS BIGINT)) / 10000.0
            AS cosine
   FROM enc e JOIN cw ON cw.j = e.j AND cw.k = e.k
   CROSS JOIN q

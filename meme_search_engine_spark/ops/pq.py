@@ -243,14 +243,26 @@ def pq_adc_topk(
     queries_pd: pd.DataFrame,
     k: int = 10,
     rotation: np.ndarray | None = None,
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes, no decode: per-batch ADC
     lookups then the same partial-top-k/merge shape as
     cosine_topk_gemm.  Returns (query_id, rank, vec_id, cosine) where
-    `cosine` is the ADC estimate (quantized)."""
+    `cosine` is the ADC estimate (quantized).
+
+    quantize_scale: when set, each PER-SUBSPACE lookup-table entry is
+    rounded (HALF_UP away from zero) to 1/scale fixed point BEFORE
+    summation, so ADC scores are exact integer sums — the ranking is
+    then bit-stable across engines (float sums over subspaces have
+    unspecified association in SQL engines and can flip near-tied
+    ranks: the CLAUDE.md multi-channel invariant, applied per
+    subspace).  The oracle-gated path uses scale=1e4."""
     books = np.ascontiguousarray(codebooks)
     qids = queries_pd["query_id"].to_numpy(np.int64)
     luts = adc_tables(books, np.stack(queries_pd["qvec"].to_numpy()), rotation)
+    if quantize_scale is not None:
+        x = luts * float(quantize_scale)
+        luts = np.sign(x) * np.floor(np.abs(x) + 0.5)
     nq, m = len(qids), books.shape[0]
 
     def kernel(batches):
@@ -273,11 +285,16 @@ def pq_adc_topk(
             from .similarity import partial_topk_indices
 
             idx = partial_topk_indices(scores, vec_ids, kk)
+            top = np.take_along_axis(scores, idx, axis=0).T.ravel()
+            if quantize_scale is not None:
+                # integer-valued sums -> exact division back to cosine
+                # units (monotone, tie-preserving)
+                top = top / float(quantize_scale)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, kk),
                     "vec_id": vec_ids[idx].T.ravel(),
-                    "cosine": np.take_along_axis(scores, idx, axis=0).T.ravel(),
+                    "cosine": top,
                 }
             )
 

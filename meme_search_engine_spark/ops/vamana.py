@@ -401,8 +401,16 @@ def vamana_search(
         .select("query_id", "rank", "vec_id", "cosine")
     )
     if stats is not None:
+        # diagnostic mode: run the job ONCE, read the accumulators,
+        # and hand back a DataFrame REBUILT from the collected rows —
+        # if the caller executes the return value too, the original
+        # lazy plan would re-run and double-count visited /
+        # shard_rows_seen (r4 ADVICE)
         rows = result.collect()
         stats["visited"] = counters.value
         stats["shard_rows_seen"] = total_rows.value
         stats["_rows"] = rows
+        return spark.createDataFrame(
+            rows, "query_id long, rank int, vec_id long, cosine double"
+        )
     return result

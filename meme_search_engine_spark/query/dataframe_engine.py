@@ -392,3 +392,70 @@ def hybrid_topk_pruned(
             ),
         )
     )
+
+
+def diversify_topk(
+    ranked: DataFrame,
+    doc_vecs: DataFrame,
+    k: int = 10,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Query-time near-duplicate suppression of RESULTS — the
+    reference's serving behavior of reranking the visited set and
+    greedily dropping results with cosine > threshold to an
+    already-kept one (/root/reference/src/query_disk_index.rs:99,
+    514-527: gram matrix + DEDUPLICATE_THRESHOLD 0.95).
+
+    ranked: a candidate POOL per query — (query_id, doc_id,
+    score_fixed, ...) ranked output deeper than the final k (e.g.
+    hybrid_topk_pruned with per-query k widened to C); pools of only
+    k rows can't replace suppressed results.  doc_vecs: (doc_id,
+    embedding).  Candidates without an embedding row drop out (same
+    inner-join semantics as the hybrid engines).
+
+    Per query: visit candidates in (-score_fixed, doc_id) order, drop
+    any with cosine > threshold to a kept result, emit the first k
+    survivors re-ranked 1..k.  The keep/drop decisions come from the
+    SAME shared kernel as LocalSearcher.search_hybrid(dedup_threshold=)
+    (common.vecmath.greedy_diverse_prefix) — serve == batch
+    bit-identically (pytest).  Greedy selection is inherently
+    sequential in k but per-QUERY independent, so it distributes as
+    one applyInPandas over query groups of <=pool rows each — the
+    same per-query grouping shape as the WAND merge, never a
+    corpus-sized group."""
+    import numpy as np
+    import pandas as pd
+
+    from ..common.vecmath import greedy_diverse_prefix, l2_normalize
+
+    qt = dict(ranked.dtypes)["query_id"]
+    schema = (
+        f"query_id {qt}, rank int, doc_id long, score_fixed long, "
+        "score double"
+    )
+    pool = ranked.join(doc_vecs, "doc_id").select(
+        "query_id", "doc_id", "score_fixed", "embedding"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score_fixed", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        unit = l2_normalize(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        )
+        keep = greedy_diverse_prefix(unit, threshold, k)
+        out = pdf.iloc[keep]
+        return pd.DataFrame(
+            {
+                "query_id": out["query_id"].to_numpy(),
+                "rank": np.arange(1, len(out) + 1, dtype=np.int32),
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "score_fixed": out["score_fixed"].to_numpy(np.int64),
+                "score": out["score_fixed"].to_numpy(np.int64)
+                / float(FIXED_POINT_SCALE),
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(kernel, schema)

@@ -147,65 +147,75 @@ class LocalIVF:
         qn = q / max(float(np.linalg.norm(q)), 1e-30)
         probe = np.argsort(-(self._cn @ qn), kind="stable")[:n_probe]
         col = _IVF_STORAGE_COLS[self.storage]
-        tables = []
-        for lid in probe:
-            for frag in self._frags_by_list.get(int(lid), []):
-                t = frag.to_table(columns=["vec_id", col])
-                if t.num_rows:
-                    tables.append(t)
-        if not tables:
-            return []
-        t = pa.concat_tables(tables)
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        if self.storage == "pq":
-            from ..ops.pq import adc_tables, score_codes
 
-            books = np.asarray(
-                self.manifest["pq_codebooks"], dtype=np.float64
-            )
-            rot = (
-                np.asarray(self.manifest["pq_rotation"], dtype=np.float64)
-                if "pq_rotation" in self.manifest
-                else None
-            )
-            m = books.shape[0]
-            codes = np.frombuffer(
-                b"".join(t.column(col).to_pylist()), dtype=np.uint8
-            ).reshape(len(ids), m)
-            luts = adc_tables(books, q[None, :], rot)
-            score = score_codes(
-                codes, luts, np.zeros(len(ids), dtype=np.int64)
-            )
-        else:
-            if self.storage == "fp16":
-                bufs = t.column(col).to_pylist()
-                vm = np.frombuffer(b"".join(bufs), dtype="<f2").astype(
-                    np.float64
-                ).reshape(len(ids), -1)
-            elif self.storage == "int8":
-                lo = np.asarray(self.manifest["int8_smin"], dtype=np.float64)
-                step = (
-                    np.asarray(self.manifest["int8_smax"], dtype=np.float64)
-                    - lo
-                ) / 255.0
-                qcodes = np.frombuffer(
+        def _score_table(t: pa.Table) -> tuple:
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            if self.storage == "pq":
+                from ..ops.pq import adc_tables, score_codes
+
+                books = np.asarray(
+                    self.manifest["pq_codebooks"], dtype=np.float64
+                )
+                rot = (
+                    np.asarray(
+                        self.manifest["pq_rotation"], dtype=np.float64
+                    )
+                    if "pq_rotation" in self.manifest
+                    else None
+                )
+                m = books.shape[0]
+                codes = np.frombuffer(
                     b"".join(t.column(col).to_pylist()), dtype=np.uint8
-                ).reshape(len(ids), len(lo)).astype(np.float64)
-                # dequantize through float32 like unpack_embeddings_int8
-                vm = (lo + qcodes * step).astype(np.float32).astype(
-                    np.float64
+                ).reshape(len(ids), m)
+                luts = adc_tables(books, q[None, :], rot)
+                score = score_codes(
+                    codes, luts, np.zeros(len(ids), dtype=np.int64)
                 )
             else:
-                vm = np.asarray(t.column(col).to_pylist(), dtype=np.float64)
-            denom = np.linalg.norm(vm, axis=1) * float(np.linalg.norm(q))
-            score = (vm @ q) / np.maximum(denom, 1e-30)
-        # collapse duplicates to max score, then top-k by (-score, id)
-        order = np.lexsort((ids, -score))
-        ids, score = ids[order], score[order]
-        first = np.unique(ids, return_index=True)[1]
-        ids, score = ids[first], score[first]
-        top = np.lexsort((ids, -score))[:k]
-        return [int(i) for i in ids[top]]
+                if self.storage == "fp16":
+                    bufs = t.column(col).to_pylist()
+                    vm = np.frombuffer(b"".join(bufs), dtype="<f2").astype(
+                        np.float64
+                    ).reshape(len(ids), -1)
+                elif self.storage == "int8":
+                    lo = np.asarray(
+                        self.manifest["int8_smin"], dtype=np.float64
+                    )
+                    step = (
+                        np.asarray(
+                            self.manifest["int8_smax"], dtype=np.float64
+                        )
+                        - lo
+                    ) / 255.0
+                    qcodes = np.frombuffer(
+                        b"".join(t.column(col).to_pylist()), dtype=np.uint8
+                    ).reshape(len(ids), len(lo)).astype(np.float64)
+                    # dequantize through float32 like unpack_embeddings_int8
+                    vm = (lo + qcodes * step).astype(np.float32).astype(
+                        np.float64
+                    )
+                else:
+                    vm = np.asarray(
+                        t.column(col).to_pylist(), dtype=np.float64
+                    )
+                denom = np.linalg.norm(vm, axis=1) * float(np.linalg.norm(q))
+                score = (vm @ q) / np.maximum(denom, 1e-30)
+            return ids, score
+
+        def _parts():
+            # one pa.Table per FRAGMENT (not all probed lists at once):
+            # peak resident memory is one fragment + the running top-k,
+            # so a multi-GB list never materializes driver-side
+            for lid in probe:
+                for frag in self._frags_by_list.get(int(lid), []):
+                    t = frag.to_table(columns=["vec_id", col])
+                    if t.num_rows:
+                        yield _score_table(t)
+
+        # streaming fold keeps collapse-to-max + (-score, id) semantics
+        # exactly (see _fold_topk) — same results as concat-then-sort
+        rid, _ = _fold_topk(_parts(), k)
+        return [int(i) for i in rid]
 
 
 class LocalVamana:
@@ -227,9 +237,14 @@ class LocalVamana:
         self._ds, self._frags_by_list = _hive_fragment_map(
             os.path.join(vamana_dir, "shards"), "list_id", "Vamana"
         )
-        # shard id -> (gids, unit matrix, adjacency, start); bounded;
+        # shard id -> (gids, unit matrix, adjacency, start); bounded
+        # LRU (move-to-end on hit, evict-oldest at cap — clear()-style
+        # eviction dumped all 64 decoded shards on the 65th and caused
+        # a thundering-herd refetch under concurrent load, r4 advice);
         # locked: ThreadingHTTPServer handlers probe concurrently
-        self._shards: dict[int, tuple] = {}
+        from collections import OrderedDict
+
+        self._shards: OrderedDict[int, tuple] = OrderedDict()
         self._shard_cap = 64
         self._shard_lock = threading.Lock()
 
@@ -238,6 +253,7 @@ class LocalVamana:
 
         with self._shard_lock:
             if lid in self._shards:
+                self._shards.move_to_end(lid)
                 return self._shards[lid]
         import pyarrow as pa
 
@@ -269,9 +285,14 @@ class LocalVamana:
         start = int(med[0]) if len(med) else 0
         entry = (gids, vm, adj, start)
         with self._shard_lock:
-            if len(self._shards) >= self._shard_cap:
-                self._shards.clear()
-            self._shards[lid] = entry
+            # concurrent builders of the SAME shard: keep the first
+            # insert (identical content), just refresh recency
+            if lid not in self._shards:
+                while len(self._shards) >= self._shard_cap:
+                    self._shards.popitem(last=False)
+                self._shards[lid] = entry
+            else:
+                self._shards.move_to_end(lid)
         return entry
 
     def candidates(
@@ -331,7 +352,14 @@ class LocalSearcher:
         # reference's mmap-resident index (query_disk_index.rs).
         # None = term probed and absent (negative cache).  Guarded by a
         # lock: ThreadingHTTPServer handlers call search concurrently.
-        self._term_cache: dict[int, pd.DataFrame | None] = {}
+        # Both caches are LRU (evict-oldest at cap): a clear()-style
+        # cap dumps every warm term at the cap crossing and serves a
+        # latency cliff to concurrent traffic (r4 advice #4).
+        from collections import OrderedDict
+
+        self._term_cache: OrderedDict[int, pd.DataFrame | None] = (
+            OrderedDict()
+        )
         self._term_cache_cap = 100_000
         self._term_cache_lock = threading.Lock()
         # decoded per-term postings cache: (doc_ids, float contribs) —
@@ -339,7 +367,7 @@ class LocalSearcher:
         # fixed-record index (its mmap'd shard pays no per-query
         # decode either, query_disk_index.rs:73-81).  Bounded by total
         # cached postings, not entry count (head terms dominate).
-        self._scored_cache: dict[int, tuple | None] = {}
+        self._scored_cache: OrderedDict[int, tuple | None] = OrderedDict()
         self._scored_postings = 0
         self._scored_postings_cap = 50_000_000  # ~0.8 GB worst case
         # entry-count cap too: absent terms cache as None (zero
@@ -358,9 +386,11 @@ class LocalSearcher:
         # still needs (frames are built from `local`, not the shared
         # cache); all shared-cache mutation happens under the lock.
         with self._term_cache_lock:
-            local: dict[int, pd.DataFrame | None] = {
-                h: self._term_cache[h] for h in hashes if h in self._term_cache
-            }
+            local: dict[int, pd.DataFrame | None] = {}
+            for h in hashes:
+                if h in self._term_cache:
+                    self._term_cache.move_to_end(h)
+                    local[h] = self._term_cache[h]
         missing = [h for h in hashes if h not in local]
         if missing:
             buckets = sorted({h % self.cfg["n_buckets"] for h in missing})
@@ -387,9 +417,9 @@ class LocalSearcher:
                     fetched_map[int(h)] = g.reset_index(drop=True)
             local.update(fetched_map)
             with self._term_cache_lock:
-                if len(self._term_cache) + len(missing) > self._term_cache_cap:
-                    self._term_cache.clear()
                 self._term_cache.update(fetched_map)
+                while len(self._term_cache) > self._term_cache_cap:
+                    self._term_cache.popitem(last=False)
         frames = [local[h] for h in hashes if local.get(h) is not None]
         if not frames:
             return None
@@ -417,6 +447,7 @@ class LocalSearcher:
         the cross-engine association-order contract."""
         with self._term_cache_lock:
             if h in self._scored_cache:
+                self._scored_cache.move_to_end(h)
                 return self._scored_cache[h]
         pdf = self._fetch_blocks([h])
         if pdf is None or not len(pdf):
@@ -439,19 +470,27 @@ class LocalSearcher:
             )
             entry = (d, c)
         with self._term_cache_lock:
-            if (
-                len(self._scored_cache) >= self._scored_entries_cap
-                or (
-                    entry is not None
-                    and self._scored_postings + len(entry[0])
-                    > self._scored_postings_cap
-                )
-            ):
-                self._scored_cache.clear()
-                self._scored_postings = 0
+            # another thread may have inserted h while we decoded:
+            # keep the existing entry and DON'T re-add its postings to
+            # the counter (the drift triggered early whole-cache
+            # eviction — r4 ADVICE) — identical content either way
+            if h in self._scored_cache:
+                self._scored_cache.move_to_end(h)
+                return self._scored_cache[h]
             self._scored_cache[h] = entry
             if entry is not None:
                 self._scored_postings += len(entry[0])
+            # LRU eviction, oldest-first, until BOTH caps hold (never
+            # the whole cache at once; the current term was just
+            # inserted most-recent so a single eviction pass cannot
+            # drop it unless it alone exceeds the budget)
+            while len(self._scored_cache) > 1 and (
+                len(self._scored_cache) > self._scored_entries_cap
+                or self._scored_postings > self._scored_postings_cap
+            ):
+                _, old = self._scored_cache.popitem(last=False)
+                if old is not None:
+                    self._scored_postings -= len(old[0])
         return entry
 
     def _accumulate_fixed(self, parts: list[tuple]):
@@ -691,6 +730,7 @@ class LocalSearcher:
         ivf_dir: str,
         n_candidates: int = 50,
         n_probe: int = 8,
+        dedup_threshold: float | None = None,
     ) -> list[dict]:
         """Fused text+vector serving at index scale — candidate
         generation then exact rerank, the reference's online shape
@@ -748,8 +788,23 @@ class LocalSearcher:
             count=len(ids),
         )
 
-        kk = min(k, len(ids))
-        order = np.lexsort((ids, -score))[:kk]
+        if dedup_threshold is not None:
+            # query-time near-dup suppression of results (the
+            # reference's gram-matrix rerank + greedy drop of results
+            # with cosine > threshold to a kept one,
+            # query_disk_index.rs:99,514-527): rank the WHOLE candidate
+            # pool, then keep the first k survivors.  Shared kernel
+            # with the batch diversify_topk — bit-identical decisions.
+            from ..common.vecmath import greedy_diverse_prefix, l2_normalize
+
+            order = np.lexsort((ids, -score))
+            keep = greedy_diverse_prefix(
+                l2_normalize(m)[order], dedup_threshold, k
+            )
+            order = order[keep]
+        else:
+            kk = min(k, len(ids))
+            order = np.lexsort((ids, -score))[:kk]
         results = [
             {
                 "rank": i + 1,

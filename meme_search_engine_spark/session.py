@@ -63,6 +63,16 @@ def get_spark(
             "2",
         )
         .config("spark.ui.enabled", "false")
+        # zstd shuffle/broadcast compression: measured on the build's
+        # one big exchange (tools/shuffle_audit.py, 100k docs) -36%
+        # shuffle bytes vs lz4 (4.06 vs 6.33 B/token; 3.96 with the
+        # doc-local tf combine) at equal-or-better wall locally — and
+        # on a real cluster the shuffle crosses the NETWORK, where the
+        # byte cut is the whole point.  Env-overridable for A/B.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         # Local benches read multi-MB (not multi-GB) inputs: with the
         # 128 MB default the whole corpus packs into 1-2 input splits
         # and the tokenize stage runs on 1-2 cores no matter what

@@ -218,3 +218,130 @@ def test_mlp_score_channel(spark, sf01_dir, hybrid_inputs):
             if pr.get(r["doc_id"], 0) != 0:
                 moved += 1
     assert moved > 0
+
+
+def test_query_time_near_dup_suppression(spark, sf01_dir, hybrid_inputs, tmp_path):
+    """Query-time result dedup (reference: gram-matrix rerank + greedy
+    drop of results with cosine > 0.95 to a kept one,
+    query_disk_index.rs:99,514-527): on a corpus with PLANTED
+    near-duplicate embeddings, (a) the undeduped top-k contains
+    near-dups, (b) the deduped top-k is pairwise-diverse, (c) the
+    serving path and the batch diversify_topk keep IDENTICAL results
+    (shared greedy kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    from meme_search_engine_spark.common.vecmath import l2_normalize
+    from meme_search_engine_spark.gate import _built_index
+    from meme_search_engine_spark.ops import ivf_index
+    from meme_search_engine_spark.ops.similarity import (
+        deterministic_centroids,
+    )
+    from meme_search_engine_spark.query.dataframe_engine import (
+        diversify_topk,
+        hybrid_topk_pruned,
+    )
+    from meme_search_engine_spark.query.serve import LocalSearcher
+
+    h = hybrid_inputs
+    THR = 0.95
+
+    # plant near-dup clusters: vec_ids 100..119 become tiny
+    # perturbations of vec_id 100's embedding (pairwise cosine ~1)
+    emb_pd = spark.read.parquet(f"{sf01_dir}/embeddings.parquet").toPandas()
+    emb_pd = emb_pd.sort_values("vec_id").reset_index(drop=True)
+    base = np.asarray(
+        emb_pd.loc[emb_pd["vec_id"] == 100, "embedding"].iloc[0],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(7)
+    rows = []
+    for i, vid in enumerate(range(100, 120)):
+        v = base + 1e-3 * rng.standard_normal(base.shape)
+        rows.append((int(vid), v.astype(np.float32)))
+    planted = emb_pd.copy()
+    pmap = dict(rows)
+    planted["embedding"] = [
+        pmap.get(int(vid), np.asarray(e, dtype=np.float32))
+        for vid, e in zip(planted["vec_id"], planted["embedding"])
+    ]
+    emb_path = str(tmp_path / "planted_emb")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": planted["vec_id"],
+                "embedding": [list(map(float, e)) for e in planted["embedding"]],
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb_path)
+
+    emb = spark.read.parquet(emb_path)
+    doc_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = str(tmp_path / "ivf_dedup")
+    ivf_index.build_ivf_index(
+        spark, emb, out, centroids=deterministic_centroids(emb, 8),
+        spill=1, storage="fp32",
+    )
+    C, NP, K = 200, 8, 10
+    # query AT the planted cluster so near-dups crowd the top-k
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0],
+                "text": ["zzzmissingterm"],
+                "k": [K],
+                "qvec": [list(map(float, base.astype(np.float32)))],
+            }
+        ),
+        "query_id int, text string, k int, qvec array<float>",
+    )
+    qpd = queries.select("query_id", "qvec").toPandas()
+    vec_cands = ivf_index.ivf_search(
+        spark, out, qpd, k=C, n_probe=NP
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+
+    # batch: FULL candidate pool (k widened so nothing is cut), then
+    # greedy diversify to K
+    pool = hybrid_topk_pruned(
+        spark, h["c"]["tf"], h["c"]["term_df"], h["c"]["stats"],
+        queries.withColumn("k", F.lit(1_000_000)),
+        doc_vecs, n_candidates=C, vec_candidates=vec_cands,
+    )
+    plain = [
+        (r["rank"], r["doc_id"], r["score_fixed"])
+        for r in pool.filter(F.col("rank") <= K).collect()
+    ]
+    batch = [
+        (r["rank"], r["doc_id"], r["score_fixed"])
+        for r in diversify_topk(
+            pool, doc_vecs, k=K, threshold=THR
+        ).orderBy("rank").collect()
+    ]
+
+    searcher = LocalSearcher(_built_index(spark, sf01_dir))
+    got = searcher.search_hybrid(
+        "zzzmissingterm", base, emb_path, k=K,
+        ivf_dir=out, n_candidates=C, n_probe=NP, dedup_threshold=THR,
+    )
+    serve = [(g["rank"], g["doc_id"], g["score_fixed"]) for g in got]
+
+    # (c) serve == batch, bit-identical decisions
+    assert serve == sorted(batch)
+    # (a) the undeduped ranking is crowded by the planted cluster...
+    plain_ids = {d for _, d, _ in plain}
+    assert len(plain_ids & set(range(100, 120))) > 1
+    # ...(b) the deduped one keeps at most one of them, and the kept
+    # set is pairwise-diverse under the exact vectors
+    kept_ids = [d for _, d, _ in batch]
+    assert len(set(kept_ids) & set(range(100, 120))) <= 1
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(kept_ids)).collect()
+    }
+    unit = l2_normalize(np.stack([vecs[d] for d in kept_ids]))
+    gram = unit @ unit.T
+    np.fill_diagonal(gram, 0.0)
+    assert float(gram.max()) <= THR + 1e-12
+    # suppression replaces, not truncates: still K results
+    assert len(batch) == K == len(serve)
