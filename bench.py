@@ -220,6 +220,69 @@ def main() -> None:
         finally:
             if last_idx is not None:
                 shutil.rmtree(last_idx, ignore_errors=True)
+
+        # ---- ANN tier at 100k vectors (r4 advice #3): build + probe
+        # latency for BOTH persistent vector indexes, so ANN perf gets
+        # the same round-over-round regression trail BM25 has ----
+        from meme_search_engine_spark.datagen import ensure_embeddings
+        from meme_search_engine_spark.ops.ivf_index import build_ivf_index
+        from meme_search_engine_spark.ops.vamana import build_vamana_index
+        from meme_search_engine_spark.query.serve import LocalIVF, LocalVamana
+
+        n_vec = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_VECS", "100000"))
+        emb_dir = ensure_embeddings(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"),
+            n_vec,
+        )
+        emb = spark.read.parquet(emb_dir)
+        qm = [
+            r["embedding"]
+            for r in emb.filter(f"vec_id < 16").orderBy("vec_id").collect()
+        ]
+
+        def probe_p50(make_probe, n_probe: int) -> tuple[float, float]:
+            """(cold_p50_ms, warm_p50_ms): cold = fresh probe object
+            (empty caches) one pass; warm = best-of-3 interleaved."""
+            probe = make_probe()
+            cold = []
+            for q in qm:
+                t0 = time.time()
+                probe.candidates(q, k=10, n_probe=n_probe)
+                cold.append(time.time() - t0)
+            cold.sort()
+            best: dict[int, float] = {}
+            for _ in range(3):
+                for i, q in enumerate(qm):
+                    t0 = time.time()
+                    probe.candidates(q, k=10, n_probe=n_probe)
+                    dt = time.time() - t0
+                    if i not in best or dt < best[i]:
+                        best[i] = dt
+            warm = sorted(best.values())
+            return (
+                round(1000 * cold[len(cold) // 2], 2),
+                round(1000 * warm[len(warm) // 2], 2),
+            )
+
+        ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+        vam_dir = tempfile.mkdtemp(prefix="bench_vam_")
+        try:
+            t0 = time.time()
+            build_ivf_index(spark, emb, ivf_dir, n_lists=64, storage="fp16")
+            extras["ivf_build_sec_100k"] = round(time.time() - t0, 3)
+            c, w = probe_p50(lambda: LocalIVF(ivf_dir), n_probe=8)
+            extras["ivf_probe_cold_p50_ms"] = c
+            extras["ivf_probe_p50_ms"] = w
+
+            t0 = time.time()
+            build_vamana_index(spark, emb, vam_dir, n_shards=16)
+            extras["vamana_build_sec_100k"] = round(time.time() - t0, 3)
+            c, w = probe_p50(lambda: LocalVamana(vam_dir), n_probe=2)
+            extras["vamana_probe_cold_p50_ms"] = c
+            extras["vamana_probe_p50_ms"] = w
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
+            shutil.rmtree(vam_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
