@@ -171,24 +171,135 @@ def build_vamana_graph(
     return out, medoid
 
 
+def stitch_graph_with_queries(
+    vm_base: np.ndarray,
+    query_vm: np.ndarray,
+    r: int = 16,
+    beam: int = 48,
+    alpha: float = 1.2,
+    seed: int = 0,
+    max_add_per_stitch: int = 2,
+) -> tuple[np.ndarray, int]:
+    """Query-aware (OOD) Vamana build + stitch — the reference's
+    robust_stitch (/root/reference/diskann/src/lib.rs:326-374, enabled
+    by query_breakpoint in generate_index_shard.rs:104-127; OOD-DiskANN
+    paper): build ONE graph over base vectors + held-out query vectors,
+    then redistribute the query nodes' connectivity into the base
+    graph and drop them —
+
+    1. every base->query edge is removed, recording the query's
+       in-neighbours;
+    2. for each query node (deterministic ascending order), each of
+       its in-neighbours receives up to `max_add_per_stitch` of the
+       query's out-neighbours (closest to that in-neighbour first),
+       capped at degree r;
+    3. query rows are discarded; the returned adjacency covers only
+       the base rows.
+
+    Net effect: base nodes near a representative query gain direct
+    edges to the other nodes near that query — shortcut edges along
+    realistic query directions, which a base-only build cannot learn.
+
+    Returns (adjacency (n_base, r) padded with -1, medoid index into
+    the base rows)."""
+    n_base = vm_base.shape[0]
+    if query_vm is None or not len(query_vm):
+        return build_vamana_graph(vm_base, r=r, beam=beam, alpha=alpha,
+                                  seed=seed)
+    all_vm = np.concatenate(
+        [
+            np.ascontiguousarray(vm_base, dtype=np.float64),
+            np.ascontiguousarray(query_vm, dtype=np.float64),
+        ]
+    )
+    adj_pad, _ = build_vamana_graph(
+        all_vm, r=r, beam=beam, alpha=alpha, seed=seed
+    )
+    un = l2_normalize(all_vm)
+    adj = [row[row >= 0] for row in adj_pad]
+    n_q = all_vm.shape[0] - n_base
+    in_edges: list[list[int]] = [[] for _ in range(n_q)]
+    for i in range(n_base):
+        row = adj[i]
+        is_q = row >= n_base
+        for qn in row[is_q]:
+            in_edges[int(qn) - n_base].append(i)
+        adj[i] = row[~is_q]
+    for qi in range(n_q):
+        q_out = adj[n_base + qi]
+        q_out = q_out[q_out < n_base]  # base-only targets
+        if not len(q_out):
+            continue
+        for b in in_edges[qi]:
+            have = adj[b]
+            if len(have) >= r:
+                continue
+            # closest of the query's out-neighbours to this
+            # in-neighbour first (the reference ranks by dot)
+            order = np.argsort(-(un[q_out] @ un[b]), kind="stable")
+            added = 0
+            for neigh in q_out[order]:
+                if added >= max_add_per_stitch or len(adj[b]) >= r:
+                    break
+                if int(neigh) == b or int(neigh) in adj[b]:
+                    continue
+                adj[b] = np.append(adj[b], int(neigh))
+                added += 1
+    out = np.full((n_base, r), -1, dtype=np.int64)
+    for i in range(n_base):
+        out[i, : len(adj[i])] = adj[i]
+    base_un = un[:n_base]
+    medoid = int(np.argmax(base_un @ base_un.mean(axis=0)))
+    return out, medoid
+
+
 _SHARD_SCHEMA = (
     "list_id int, vec_id long, embedding array<float>, "
     "neighbors array<bigint>, is_medoid boolean"
 )
 
 
-def _shard_builder(r: int, beam: int, alpha: float):
+def _shard_builder(
+    r: int, beam: int, alpha: float, max_add_per_stitch: int = 2
+):
     """applyInPandas kernel: one shard in -> its graph rows out.
-    Seed derives from the shard's vec_id content, so rebuilds are
-    deterministic and an appended index equals a cold build."""
+    Seed derives from the shard's BASE vec_id content, so rebuilds are
+    deterministic and an appended index equals a cold build.  Rows
+    with is_query=True (routed held-out stitch queries) participate in
+    the build then dissolve via stitch_graph_with_queries — only base
+    rows are emitted."""
 
     def build_shard(key, pdf):
+        if "is_query" in pdf.columns:
+            qpdf = pdf[pdf["is_query"]]
+            pdf = pdf[~pdf["is_query"]]
+        else:
+            qpdf = pdf.iloc[0:0]
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    "list_id": pd.Series([], dtype="int32"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype=object),
+                    "neighbors": pd.Series([], dtype=object),
+                    "is_medoid": pd.Series([], dtype=bool),
+                }
+            )
         vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         seed = int(pd.util.hash_pandas_object(pdf["vec_id"]).sum() % (2**31))
-        adj, medoid = build_vamana_graph(
-            vm, r=r, beam=beam, alpha=alpha, seed=seed
-        )
+        if len(qpdf):
+            qvm = np.stack(
+                qpdf.sort_values("vec_id")["embedding"].to_numpy()
+            ).astype(np.float64)
+            adj, medoid = stitch_graph_with_queries(
+                vm, qvm, r=r, beam=beam, alpha=alpha, seed=seed,
+                max_add_per_stitch=max_add_per_stitch,
+            )
+        else:
+            adj, medoid = build_vamana_graph(
+                vm, r=r, beam=beam, alpha=alpha, seed=seed
+            )
         gids = pdf["vec_id"].to_numpy(np.int64)
         return pd.DataFrame(
             {
@@ -215,11 +326,19 @@ def build_vamana_index(
     alpha: float = 1.2,
     centroids: np.ndarray | None = None,
     n_iters: int = 8,
+    stitch_queries: DataFrame | None = None,
+    max_add_per_stitch: int = 2,
 ) -> dict:
     """Sharded Vamana index: centroid routing (same as the IVF index),
     one graph per shard built INSIDE applyInPandas — the shard's rows
     never leave their executor; neighbors are stored as GLOBAL vec_ids
     so the adjacency column is self-contained.
+
+    stitch_queries: optional (query_id, qvec) held-out query set for
+    the OOD query-aware stitch pass (the reference's second-phase
+    robust_stitch, diskann/src/lib.rs:326-374 — see
+    stitch_graph_with_queries); queries route to shards by the same
+    centroids and dissolve into shortcut edges, never stored.
 
     Layout: vamana_manifest.json + shards/list_id=*/ parquet of
     (vec_id, embedding, neighbors array<bigint>, is_medoid)."""
@@ -229,10 +348,24 @@ def build_vamana_index(
     if centroids is None:
         centroids = train_balanced_kmeans(embeddings, n_shards, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill=1)
+    if stitch_queries is not None:
+        assigned = assigned.withColumn("is_query", F.lit(False)).unionByName(
+            ivf_assign(
+                stitch_queries.select(
+                    F.col("query_id").alias("vec_id"),
+                    F.col("qvec").alias("embedding"),
+                ),
+                centroids,
+                spill=1,
+            ).withColumn("is_query", F.lit(True))
+        )
     (
         assigned.repartition("list_id")
         .groupBy("list_id")
-        .applyInPandas(_shard_builder(r, beam, alpha), _SHARD_SCHEMA)
+        .applyInPandas(
+            _shard_builder(r, beam, alpha, max_add_per_stitch),
+            _SHARD_SCHEMA,
+        )
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "shards"))
@@ -244,6 +377,8 @@ def build_vamana_index(
         "r": int(r),
         "beam": int(beam),
         "alpha": float(alpha),
+        "stitched": stitch_queries is not None,
+        "max_add_per_stitch": int(max_add_per_stitch),
         "centroids": [[float(x) for x in c] for c in centroids],
     }
     tmp = os.path.join(out_dir, "vamana_manifest.json.tmp")

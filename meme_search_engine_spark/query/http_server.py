@@ -201,6 +201,10 @@ def make_handler(
                         )
                     w_text = w_raw[0] if len(w_raw) > 0 else 3
                     w_vec = w_raw[1] if len(w_raw) > 1 else 1
+                    # optional query-time near-dup suppression of
+                    # results (the reference's DEDUPLICATE_THRESHOLD
+                    # 0.95 gram-matrix drop, query_disk_index.rs:99)
+                    dt = req.get("dedup_threshold")
                     matches = searcher.search_hybrid(
                         str(req.get("query", "")),
                         qvec,
@@ -210,6 +214,9 @@ def make_handler(
                         w_vec=int(w_vec),
                         with_urls=True,
                         ivf_dir=ivf_dir,
+                        dedup_threshold=(
+                            float(dt) if dt is not None else None
+                        ),
                     )
                 elif "preset" in req:
                     terms = presets.get(str(req["preset"]))

@@ -231,3 +231,130 @@ def test_local_vamana_serving(spark, emb_df, sf01_dir, tmp_path):
     )
     assert len(res) == k
     assert [r["rank"] for r in res] == list(range(1, k + 1))
+
+
+def test_local_vamana_shard_cache_lru_under_concurrency(
+    spark, emb_df, tmp_path
+):
+    """Shard-cache eviction is LRU, not clear()-at-cap (r4 advice #4):
+    crossing the cap evicts ONLY the oldest shard (no thundering-herd
+    full dump), results stay identical under concurrent probes, and
+    the cache never exceeds the cap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from meme_search_engine_spark.query.serve import LocalVamana
+
+    out = str(tmp_path / "vam_lru")
+    vamana.build_vamana_index(
+        spark, emb_df, out, n_shards=8,
+        centroids=deterministic_centroids(emb_df, 8), r=16, beam=48,
+    )
+    qpd = _queries(emb_df, 8)
+    lv = LocalVamana(out)
+    want = [
+        lv.candidates(row["qvec"], k=10, n_probe=8)
+        for _, row in qpd.iterrows()
+    ]
+
+    lv2 = LocalVamana(out)
+    lv2._shard_cap = 3  # force constant cap crossings
+    def probe(i):
+        row = qpd.iloc[i % len(qpd)]
+        return i % len(qpd), lv2.candidates(row["qvec"], k=10, n_probe=8)
+
+    with ThreadPoolExecutor(8) as ex:
+        for i, got in ex.map(probe, range(64)):
+            assert got == want[i]
+    # bounded, and a cap crossing kept the most-recent entries rather
+    # than dumping everything
+    assert 0 < len(lv2._shards) <= 3
+
+    # single-threaded order check: probing shards one at a time keeps
+    # an LRU suffix, evicting oldest-first
+    lv3 = LocalVamana(out)
+    lv3._shard_cap = 3
+    for lid in range(6):
+        lv3._shard(lid)
+    assert sorted(lv3._shards) == [3, 4, 5]
+
+
+def test_query_aware_stitch_pass(spark, emb_df, tmp_path):
+    """OOD query-aware stitch (reference robust_stitch,
+    diskann/src/lib.rs:326-374): building WITH held-out stitch queries
+    (a) keeps the degree bound and a valid base-only graph, (b) never
+    stores query nodes, (c) does not hurt recall on an out-of-
+    distribution eval query set (improvement is data-dependent; the
+    measured delta is reported in the assertion message), and (d) the
+    stitch parameters land in the manifest."""
+    import pandas as pd
+
+    from meme_search_engine_spark.common.vecmath import l2_normalize
+    from meme_search_engine_spark.query.serve import LocalVamana
+
+    emb_pd = emb_df.orderBy("vec_id").toPandas()
+    base_ids = emb_pd["vec_id"].to_numpy(np.int64)
+    vm = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(11)
+
+    def ood(n, stream):
+        r = np.random.default_rng(stream)
+        picks = r.integers(0, len(vm), n)
+        return vm[picks] + 0.25 * r.standard_normal((n, vm.shape[1]))
+
+    stitch_q = ood(40, 21)
+    eval_q = ood(25, 22)
+
+    cents = deterministic_centroids(emb_df, 4)
+    plain_dir = str(tmp_path / "vam_plain")
+    stitch_dir = str(tmp_path / "vam_stitch")
+    vamana.build_vamana_index(
+        spark, emb_df, plain_dir, n_shards=4, centroids=cents, r=12, beam=24,
+    )
+    sq = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(len(stitch_q), dtype=np.int64),
+                "qvec": [list(map(float, v)) for v in stitch_q],
+            }
+        ),
+        "query_id long, qvec array<float>",
+    )
+    vamana.build_vamana_index(
+        spark, emb_df, stitch_dir, n_shards=4, centroids=cents, r=12,
+        beam=24, stitch_queries=sq,
+    )
+
+    # (a)+(b): degree bound, neighbors reference real base ids only
+    rows = spark.read.parquet(f"{stitch_dir}/shards").collect()
+    idset = set(base_ids.tolist())
+    assert {r["vec_id"] for r in rows} == idset  # no query rows stored
+    for r in rows:
+        assert len(r["neighbors"]) <= 12
+        assert set(r["neighbors"]) <= idset
+
+    # (d) manifest records the pass
+    man = vamana.load_vamana_manifest(stitch_dir)
+    assert man["stitched"] is True and man["max_add_per_stitch"] == 2
+    assert vamana.load_vamana_manifest(plain_dir)["stitched"] is False
+
+    # (c) recall vs brute force on OOD eval queries
+    un = l2_normalize(vm)
+    qn = l2_normalize(eval_q)
+    truth = [
+        set(base_ids[np.lexsort((base_ids, -(un @ q)))[:10]].tolist())
+        for q in qn
+    ]
+    def recall(d):
+        lv = LocalVamana(d)
+        r = []
+        for qi, q in enumerate(eval_q):
+            got = set(lv.candidates(q, k=10, n_probe=4))
+            r.append(len(got & truth[qi]) / 10)
+        return float(np.mean(r))
+
+    r_plain, r_stitch = recall(plain_dir), recall(stitch_dir)
+    assert r_stitch >= r_plain - 0.02, (
+        f"stitch hurt recall: plain={r_plain:.3f} stitched={r_stitch:.3f}"
+    )
+    assert r_stitch >= 0.9, (r_plain, r_stitch)
+    print(f"stitch recall delta: plain={r_plain:.3f} stitched={r_stitch:.3f}")

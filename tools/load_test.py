@@ -2,13 +2,20 @@
 perf_test.py (/root/reference/perf_test.py:6-27: 1000 random queries,
 k=10, 100 concurrent against localhost).
 
+Modes (r4 advice #7):
+  text    POST {"query": ...}          — BM25 serving path
+  hybrid  POST {"query", "qvec", ...}  — fused text+vector serving
+          (plus a dedup_threshold=0.95 pass exercising the query-time
+          near-dup suppression under load)
+
 Usage:
     python tools/load_test.py [--index data/eval_idx_5000]
-        [--n 1000] [--concurrency 100] [--k 10]
+        [--n 1000] [--concurrency 100] [--k 10] [--mode both]
 
-Prints ONE JSON line: {"qps": ..., "p50_ms": ..., "p99_ms": ...,
-"errors": 0, ...}.  Needs a built index dir (tools/evaluate.py leaves
-one under data/eval_idx_<docs>).
+Prints ONE JSON line per mode: {"qps": ..., "p50_ms": ...,
+"p99_ms": ..., "errors": 0, ...}.  Needs a built index dir
+(tools/evaluate.py leaves one under data/eval_idx_<docs>); hybrid mode
+materializes a matching embeddings table + IVF index on first run.
 """
 
 from __future__ import annotations
@@ -23,19 +30,86 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+
+
+def _ensure_hybrid_fixtures(n_docs: int) -> tuple[str, str]:
+    """(embeddings_dir, ivf_dir) for the eval index's doc-id space
+    (datagen ids are dense 0..n-1, so vec_id == doc_id); built once,
+    reused across runs."""
+    from meme_search_engine_spark.datagen import ensure_embeddings
+
+    emb_dir = ensure_embeddings(DATA_DIR, n_docs)
+    ivf_dir = os.path.join(DATA_DIR, f"eval_ivf_{n_docs}")
+    if not os.path.exists(os.path.join(ivf_dir, "ivf_manifest.json")):
+        from meme_search_engine_spark.session import get_spark
+        from meme_search_engine_spark.ops.ivf_index import build_ivf_index
+
+        spark = get_spark(app_name="load-test-ivf", cores=8,
+                          shuffle_partitions=16)
+        try:
+            build_ivf_index(
+                spark, spark.read.parquet(emb_dir), ivf_dir,
+                n_lists=64, storage="fp16",
+            )
+        finally:
+            spark.stop()
+    return emb_dir, ivf_dir
+
+
+def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
+    lat: list[float] = []
+    errors = 0
+
+    def one(body: dict) -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        t0 = time.time()
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            resp.read()
+            assert resp.status == 200
+        return time.time() - t0
+
+    # warm pass over the distinct bodies (cold decode paid once, like
+    # a live server)
+    seen = set()
+    for b in bodies:
+        key = (b.get("query"), bool(b.get("qvec")), b.get("dedup_threshold"))
+        if key not in seen:
+            seen.add(key)
+            one(b)
+    t0 = time.time()
+    with ThreadPoolExecutor(concurrency) as ex:
+        for dt in ex.map(one, bodies):
+            lat.append(dt)
+    wall = time.time() - t0
+    lat.sort()
+    return {
+        "qps": round(len(bodies) / wall, 1),
+        "p50_ms": round(1000 * lat[len(lat) // 2], 2),
+        "p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 2),
+        "errors": errors,
+    }
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--index",
-        default=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "data", "eval_idx_5000",
-        ),
+        default=os.path.join(DATA_DIR, "eval_idx_5000"),
     )
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument("--concurrency", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--mode", choices=["text", "hybrid", "both"], default="both"
+    )
     args = ap.parse_args()
 
     from meme_search_engine_spark.datagen import generate_queries
@@ -46,56 +120,65 @@ def main() -> None:
     qtexts = [q["text"] for q in generate_queries(n_docs)]
     # 1000 "random" queries = deterministic round-robin over the
     # reference query set (no wall-clock seeds anywhere)
-    queries = [qtexts[i % len(qtexts)] for i in range(args.n)]
+    texts = [qtexts[i % len(qtexts)] for i in range(args.n)]
 
-    srv = SearchServer(args.index).start()
-    lat: list[float] = []
-    errors = 0
+    emb_dir = ivf_dir = None
+    qvecs = None
+    if args.mode in ("hybrid", "both"):
+        emb_dir, ivf_dir = _ensure_hybrid_fixtures(n_docs)
+        from meme_search_engine_spark.datagen import generate_embeddings
 
-    def one(text: str) -> float:
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{srv.port}/",
-            data=json.dumps({"query": text, "top_k": args.k}).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        t0 = time.time()
-        with urllib.request.urlopen(req, timeout=60) as resp:
-            resp.read()
-            assert resp.status == 200
-        return time.time() - t0
+        # deterministic query vectors: stride through the corpus
+        # embedding space so probes hit many lists
+        _, vecs = generate_embeddings(256, 64)
+        qvecs = [
+            [float(x) for x in vecs[(i * 31) % len(vecs)]]
+            for i in range(args.n)
+        ]
 
+    srv = SearchServer(
+        args.index, embeddings_path=emb_dir, ivf_dir=ivf_dir
+    ).start()
     try:
-        # warm pass (cold decode paid once, like a live server)
-        for t in qtexts:
-            one(t)
-        t0 = time.time()
-        with ThreadPoolExecutor(args.concurrency) as ex:
-            for dt in ex.map(one, queries):
-                lat.append(dt)
-        wall = time.time() - t0
-    except Exception:
-        errors += 1
-        raise
+        common = {
+            "n": args.n, "concurrency": args.concurrency, "k": args.k,
+            "n_docs": n_docs,
+        }
+        if args.mode in ("text", "both"):
+            r = run_mode(
+                srv,
+                [{"query": t, "top_k": args.k} for t in texts],
+                args.concurrency,
+            )
+            print(json.dumps({"metric": "http_load_text", **r, **common}))
+        if args.mode in ("hybrid", "both"):
+            r = run_mode(
+                srv,
+                [
+                    {"query": t, "qvec": qv, "top_k": args.k}
+                    for t, qv in zip(texts, qvecs)
+                ],
+                args.concurrency,
+            )
+            print(json.dumps({"metric": "http_load_hybrid", **r, **common}))
+            r = run_mode(
+                srv,
+                [
+                    {
+                        "query": t, "qvec": qv, "top_k": args.k,
+                        "dedup_threshold": 0.95,
+                    }
+                    for t, qv in zip(texts, qvecs)
+                ],
+                args.concurrency,
+            )
+            print(
+                json.dumps(
+                    {"metric": "http_load_hybrid_dedup", **r, **common}
+                )
+            )
     finally:
         srv.stop()
-
-    lat.sort()
-    print(
-        json.dumps(
-            {
-                "metric": "http_load_test",
-                "qps": round(args.n / wall, 1),
-                "p50_ms": round(1000 * lat[len(lat) // 2], 2),
-                "p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 2),
-                "n": args.n,
-                "concurrency": args.concurrency,
-                "k": args.k,
-                "n_docs": n_docs,
-                "errors": errors,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
