@@ -106,23 +106,20 @@ def docs_from_pages(pages: DataFrame) -> DataFrame:
 
 
 def term_doc_tf(docs: DataFrame) -> DataFrame:
-    """docs -> tf(term_hash, doc_id, doc_len, tf).
+    """docs -> tf(doc_id, doc_len, term_hash, tf).
 
-    ``explode`` + ``groupBy`` keeps everything in whole-stage codegen;
-    Spark's hash aggregate does map-side partial aggregation before the
-    shuffle, so the shuffle volume is per-(doc,term), not per-token.
-    Terms are hashed BEFORE the aggregate: all-numeric group keys make
-    the hash agg + shuffle markedly cheaper than string keys, and the
-    engine is hash-addressed everywhere downstream (term strings never
-    leave the tokenizer).  doc_len is carried through the group key
-    (functionally dependent on doc_id — no extra join)."""
-    return (
-        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .select(
-            "doc_id", "doc_len", F.xxhash64("term").alias("term_hash")
-        )
-        .groupBy("doc_id", "doc_len", "term_hash")
-        .agg(F.count("*").cast("int").alias("tf"))
+    Counted DOC-LOCALLY with JVM higher-order functions (see
+    postings.doc_term_tf_exploded): all of a doc's tokens sit in one
+    array before any exchange, so the per-(doc,term) tf needs NO
+    groupBy — this used to be explode + hash aggregate, which cost
+    every tf consumer a full exchange on (doc_id, doc_len, term_hash)
+    that nothing downstream could reuse (r5).  Terms are hashed
+    in-array (the engine is hash-addressed everywhere downstream;
+    term strings never leave the tokenizer)."""
+    from .postings import doc_term_tf_exploded
+
+    return doc_term_tf_exploded(docs).select(
+        "doc_id", "doc_len", "term_hash", "tf"
     )
 
 
