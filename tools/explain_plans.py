@@ -49,9 +49,12 @@ def main() -> None:
     tf = term_doc_tf(docs)
 
     sections.append((
-        "tf build (tokenize -> explode -> groupBy)",
-        "want: single exchange on (doc_id, doc_len, term) with partial_count "
-        "before it (map-side combine); scan reads only doc_id+text (pruning)",
+        "tf build (tokenize -> doc-local HOF combine -> explode)",
+        "want: NO exchange at all — tf is counted per doc inside the map "
+        "stage (array_sort + run-length HOFs on the doc's own token "
+        "array, r5), so the plan is scan -> project/generate only; the "
+        "old explode+groupBy shape cost every tf consumer a full "
+        "exchange; scan reads only doc_id+text (pruning)",
         fmt(tf),
     ))
 
