@@ -108,14 +108,18 @@ class LocalIVF:
     posting-fragment reads.  Per query, only the n_probe/n_lists
     partition-pruned fraction of the index is read (pyarrow fragments
     resolved once per list_id; footers cached after first use).
-    Nothing data-sized is held driver-side: the resident state is the
-    centroid matrix + fragment map, both O(n_lists).
+    Resident driver state: the centroid matrix + fragment map (both
+    O(n_lists)) plus a BYTE-BUDGETED LRU of decoded fragments
+    (default 256 MB, SPARK_GRAFT_IVF_CACHE_MB) — warm probes score
+    from memory, cold/over-budget ones stream.
 
     Reference analogue: shard routing then within-shard search
     (query_disk_index.rs:447-450); candidate generation only — exact
     scores come from the rerank against the source embedding table."""
 
     def __init__(self, ivf_dir: str):
+        from collections import OrderedDict
+
         import numpy as np
 
         from ..common.vecmath import l2_normalize
@@ -130,47 +134,42 @@ class LocalIVF:
         self._ds, self._frags_by_list = _hive_fragment_map(
             os.path.join(ivf_dir, "lists"), "list_id", "IVF"
         )
+        # byte-budgeted LRU of DECODED fragments (query-independent:
+        # ids + vectors/codes + norms) — the driver-local analogue of
+        # the reference's mmap-resident shards (the OS page cache does
+        # exactly this for query_disk_index.rs): a warm probe is pure
+        # numpy scoring, no parquet read, no re-decode.  Budget-bounded
+        # so a big-list index degrades to streaming reads, never to
+        # unbounded driver memory; locked for concurrent HTTP handlers.
+        self._frag_cache: OrderedDict[tuple, tuple | None] = OrderedDict()
+        self._frag_cache_bytes = 0
+        self._frag_cache_budget = (
+            int(os.environ.get("SPARK_GRAFT_IVF_CACHE_MB", "256")) << 20
+        )
+        self._frag_lock = threading.Lock()
 
-    def candidates(
-        self, qvec, k: int = 50, n_probe: int = 8
-    ) -> list[int]:
-        """Top-k candidate vec_ids from the probed lists, ranked by the
-        storage-tier score (exact cosine for fp32, dequantized cosine
-        for fp16/int8, ADC estimate for pq), ties on vec_id; duplicate
-        rows (spill>1 / append retries) collapse to max score — the
-        same invariances as the distributed ivf_search."""
-        import numpy as np
-
-        import pyarrow as pa
-
-        q = np.asarray(qvec, dtype=np.float64)
-        qn = q / max(float(np.linalg.norm(q)), 1e-30)
-        probe = np.argsort(-(self._cn @ qn), kind="stable")[:n_probe]
+    def _decoded_fragment(self, lid: int, fi: int, frag):
+        """(ids, payload, norms|None) for one fragment, decoded once and
+        LRU-cached under the byte budget; None for empty fragments.
+        payload is the float64 matrix (fp32/fp16/int8 — dequantized
+        exactly as before) or the uint8 code matrix (pq)."""
+        key = (lid, fi)
+        with self._frag_lock:
+            if key in self._frag_cache:
+                self._frag_cache.move_to_end(key)
+                return self._frag_cache[key]
         col = _IVF_STORAGE_COLS[self.storage]
-
-        def _score_table(t: pa.Table) -> tuple:
+        t = frag.to_table(columns=["vec_id", col])
+        if not t.num_rows:
+            entry = None
+        else:
             ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
             if self.storage == "pq":
-                from ..ops.pq import adc_tables, score_codes
-
-                books = np.asarray(
-                    self.manifest["pq_codebooks"], dtype=np.float64
-                )
-                rot = (
-                    np.asarray(
-                        self.manifest["pq_rotation"], dtype=np.float64
-                    )
-                    if "pq_rotation" in self.manifest
-                    else None
-                )
-                m = books.shape[0]
+                m = np.asarray(self.manifest["pq_codebooks"]).shape[0]
                 codes = np.frombuffer(
                     b"".join(t.column(col).to_pylist()), dtype=np.uint8
                 ).reshape(len(ids), m)
-                luts = adc_tables(books, q[None, :], rot)
-                score = score_codes(
-                    codes, luts, np.zeros(len(ids), dtype=np.int64)
-                )
+                entry = (ids, codes, None)
             else:
                 if self.storage == "fp16":
                     bufs = t.column(col).to_pylist()
@@ -198,19 +197,82 @@ class LocalIVF:
                     vm = np.asarray(
                         t.column(col).to_pylist(), dtype=np.float64
                     )
-                denom = np.linalg.norm(vm, axis=1) * float(np.linalg.norm(q))
-                score = (vm @ q) / np.maximum(denom, 1e-30)
+                entry = (ids, vm, np.linalg.norm(vm, axis=1))
+        nbytes = (
+            sum(a.nbytes for a in entry if a is not None)
+            if entry is not None
+            else 0
+        )
+        with self._frag_lock:
+            if key not in self._frag_cache:
+                self._frag_cache[key] = entry
+                self._frag_cache_bytes += nbytes
+                while (
+                    len(self._frag_cache) > 1
+                    and self._frag_cache_bytes > self._frag_cache_budget
+                ):
+                    _, old = self._frag_cache.popitem(last=False)
+                    if old is not None:
+                        self._frag_cache_bytes -= sum(
+                            a.nbytes for a in old if a is not None
+                        )
+            else:
+                self._frag_cache.move_to_end(key)
+        return entry
+
+    def candidates(
+        self, qvec, k: int = 50, n_probe: int = 8
+    ) -> list[int]:
+        """Top-k candidate vec_ids from the probed lists, ranked by the
+        storage-tier score (exact cosine for fp32, dequantized cosine
+        for fp16/int8, ADC estimate for pq), ties on vec_id; duplicate
+        rows (spill>1 / append retries) collapse to max score — the
+        same invariances as the distributed ivf_search."""
+        import numpy as np
+
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        probe = np.argsort(-(self._cn @ qn), kind="stable")[:n_probe]
+
+        if self.storage == "pq":
+            from ..ops.pq import adc_tables
+
+            books = np.asarray(
+                self.manifest["pq_codebooks"], dtype=np.float64
+            )
+            rot = (
+                np.asarray(self.manifest["pq_rotation"], dtype=np.float64)
+                if "pq_rotation" in self.manifest
+                else None
+            )
+            luts = adc_tables(books, q[None, :], rot)  # once per query
+        qn_norm = float(np.linalg.norm(q))
+
+        def _score(entry) -> tuple:
+            ids, payload, norms = entry
+            if self.storage == "pq":
+                from ..ops.pq import score_codes
+
+                score = score_codes(
+                    payload, luts, np.zeros(len(ids), dtype=np.int64)
+                )
+            else:
+                denom = norms * qn_norm
+                score = (payload @ q) / np.maximum(denom, 1e-30)
             return ids, score
 
         def _parts():
-            # one pa.Table per FRAGMENT (not all probed lists at once):
-            # peak resident memory is one fragment + the running top-k,
-            # so a multi-GB list never materializes driver-side
+            # decoded-once fragments under the LRU byte budget; an
+            # uncached fragment is decoded, scored and (budget
+            # permitting) retained — peak transient memory stays one
+            # fragment + the running top-k either way
             for lid in probe:
-                for frag in self._frags_by_list.get(int(lid), []):
-                    t = frag.to_table(columns=["vec_id", col])
-                    if t.num_rows:
-                        yield _score_table(t)
+                for fi, frag in enumerate(
+                    self._frags_by_list.get(int(lid), [])
+                ):
+                    entry = self._decoded_fragment(int(lid), fi, frag)
+                    if entry is not None:
+                        yield _score(entry)
 
         # streaming fold keeps collapse-to-max + (-score, id) semantics
         # exactly (see _fold_topk) — same results as concat-then-sort
@@ -246,6 +308,11 @@ class LocalVamana:
 
         self._shards: OrderedDict[int, tuple] = OrderedDict()
         self._shard_cap = 64
+        # entry-count AND byte budget: 64 big shards could be GBs
+        self._shard_bytes = 0
+        self._shard_budget = (
+            int(os.environ.get("SPARK_GRAFT_VAMANA_CACHE_MB", "512")) << 20
+        )
         self._shard_lock = threading.Lock()
 
     def _shard(self, lid: int):
@@ -284,13 +351,23 @@ class LocalVamana:
         med = pdf.index[pdf["is_medoid"]]
         start = int(med[0]) if len(med) else 0
         entry = (gids, vm, adj, start)
+        nbytes = gids.nbytes + vm.nbytes + sum(a.nbytes for a in adj)
         with self._shard_lock:
             # concurrent builders of the SAME shard: keep the first
             # insert (identical content), just refresh recency
             if lid not in self._shards:
-                while len(self._shards) >= self._shard_cap:
-                    self._shards.popitem(last=False)
                 self._shards[lid] = entry
+                self._shard_bytes += nbytes
+                while len(self._shards) > 1 and (
+                    len(self._shards) > self._shard_cap
+                    or self._shard_bytes > self._shard_budget
+                ):
+                    _, old = self._shards.popitem(last=False)
+                    if old is not None:
+                        g, v, a, _s = old
+                        self._shard_bytes -= (
+                            g.nbytes + v.nbytes + sum(x.nbytes for x in a)
+                        )
             else:
                 self._shards.move_to_end(lid)
         return entry
@@ -325,6 +402,124 @@ class LocalVamana:
         ids, score = ids[first], score[first]
         top = np.lexsort((ids, -score))[:k]
         return [int(i) for i in ids[top]]
+
+
+class _EmbeddingPointLookup:
+    """Point lookup of exact vectors from an embedding table, with a
+    BYTE-BUDGETED LRU of decoded fragments (default 256 MB,
+    SPARK_GRAFT_EMB_CACHE_MB).
+
+    The hybrid serving path needs ~2C candidate vectors per request;
+    re-running a pyarrow isin-filter over the table per request was
+    >half of hybrid request time (profiled at ~12 of 21 ms).  A warm
+    fragment answers with one searchsorted — the driver-local analogue
+    of the reference's OS-page-cached mmap'd vectors
+    (query_disk_index.rs:73-81).  A fragment that will not fit the
+    budget is NEVER decoded whole: it keeps the old exact
+    row-group-filtered read, so a 10^12-row table degrades to
+    streaming reads, not to resident memory.  Values are identical to
+    the filtered read (same float32 -> float64 widening); found ids
+    return ascending with rows aligned."""
+
+    def __init__(self, path: str):
+        self._ds = ds.dataset(path, format="parquet")
+        self._frags = list(self._ds.get_fragments())
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._bytes = 0
+        self._budget = (
+            int(os.environ.get("SPARK_GRAFT_EMB_CACHE_MB", "256")) << 20
+        )
+        self._too_big: set[int] = set()
+        self._lock = threading.Lock()
+
+    def _fragment(self, fi: int):
+        """(ids ascending, float64 rows) for fragment fi, cached under
+        the budget; None marks a fragment that must use filtered
+        reads (larger than the whole budget)."""
+        with self._lock:
+            if fi in self._too_big:
+                return None
+            if fi in self._cache:
+                self._cache.move_to_end(fi)
+                return self._cache[fi]
+            # pre-size from metadata BEFORE decoding: never materialize
+            # a fragment the budget can't hold (decoded float64 rows
+            # run ~4x the compressed parquet bytes — conservative)
+            frag = self._frags[fi]
+            try:
+                est = 4 * sum(rg.total_byte_size for rg in frag.row_groups)
+            except Exception:
+                est = 0
+        if est > self._budget:
+            with self._lock:
+                self._too_big.add(fi)
+            return None
+        t = self._frags[fi].to_table(columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        vm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, vm = ids[order], vm[order]
+        entry = (ids, vm)
+        nbytes = ids.nbytes + vm.nbytes
+        with self._lock:
+            if nbytes > self._budget:
+                # metadata under-estimated: route future calls to the
+                # filtered path; this decode is used transiently once
+                self._too_big.add(fi)
+                return entry
+            if fi not in self._cache:
+                self._cache[fi] = entry
+                self._bytes += nbytes
+                while len(self._cache) > 1 and self._bytes > self._budget:
+                    _, (oid, ovm) = self._cache.popitem(last=False)
+                    self._bytes -= oid.nbytes + ovm.nbytes
+            else:
+                self._cache.move_to_end(fi)
+        return entry
+
+    def vectors_for(self, ids: list[int]) -> tuple:
+        need = np.unique(np.asarray(list(ids), dtype=np.int64))
+        if not len(need):
+            return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+        out_ids: list[np.ndarray] = []
+        out_rows: list[np.ndarray] = []
+        filtered: list[int] = []
+        for fi in range(len(self._frags)):
+            entry = self._fragment(fi)
+            if entry is None:
+                filtered.append(fi)
+                continue
+            fids, vm = entry
+            if not len(fids) or fids[0] > need[-1] or fids[-1] < need[0]:
+                continue
+            pos = np.searchsorted(fids, need)
+            pos[pos >= len(fids)] = len(fids) - 1
+            hit = fids[pos] == need
+            if hit.any():
+                out_ids.append(need[hit])
+                out_rows.append(vm[pos[hit]])
+        for fi in filtered:
+            # exact fallback: row-group-filtered read of just this
+            # over-budget fragment
+            t = self._frags[fi].to_table(
+                columns=["vec_id", "embedding"],
+                filter=pc.field("vec_id").isin(need.tolist()),
+            )
+            if t.num_rows:
+                out_ids.append(
+                    np.asarray(t.column("vec_id").to_pylist(), np.int64)
+                )
+                out_rows.append(
+                    np.asarray(t.column("embedding").to_pylist(), np.float64)
+                )
+        if not out_ids:
+            return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+        found = np.concatenate(out_ids)
+        m = np.concatenate(out_rows)
+        order = np.argsort(found, kind="stable")
+        return found[order], m[order]
 
 
 class LocalSearcher:
@@ -652,7 +847,7 @@ class LocalSearcher:
         return self._attach_urls(results) if with_urls else results
 
     _IVF_CACHE: dict[str, object] = {}
-    _EMB_DS_CACHE: dict[str, ds.Dataset] = {}
+    _EMB_LOOKUP_CACHE: dict[str, "_EmbeddingPointLookup"] = {}
 
     def _ivf(self, ivf_dir: str):
         """Vector-index probe for the given dir — dispatches on the
@@ -672,25 +867,17 @@ class LocalSearcher:
     def _vectors_for(
         self, embeddings_path: str, ids: list[int]
     ) -> tuple:
-        """(found_ids int64[], rows float64[n,d]) — POINT lookup of the
-        candidates' exact vectors via a pyarrow row filter on the
-        source embedding table (row-group pruned; never loads the
-        matrix).  The dataset handle is cached per path (footer reads),
-        the vectors are not."""
-        import numpy as np
-
-        cache = LocalSearcher._EMB_DS_CACHE
+        """(found_ids int64[] ascending, rows float64[n,d]) — POINT
+        lookup of the candidates' exact vectors from the source
+        embedding table, through a byte-budgeted per-fragment decoded
+        cache (warm lookups are pure searchsorted; over-budget
+        fragments fall back to the row-group-filtered pyarrow read —
+        the full matrix is never required resident).  See
+        _EmbeddingPointLookup."""
+        cache = LocalSearcher._EMB_LOOKUP_CACHE
         if embeddings_path not in cache:
-            cache[embeddings_path] = ds.dataset(
-                embeddings_path, format="parquet"
-            )
-        t = cache[embeddings_path].to_table(
-            columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id").isin(ids),
-        )
-        found = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        return found, m
+            cache[embeddings_path] = _EmbeddingPointLookup(embeddings_path)
+        return cache[embeddings_path].vectors_for(ids)
 
     def _bm25_fixed_all(self, text: str) -> dict[int, int]:
         """doc_id -> exact fixed-point BM25 over the query's terms
