@@ -25,6 +25,7 @@ of input partitioning (tested at 4 vs 17 input partitions).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -310,7 +311,10 @@ def doc_term_tf_exploded(docs: DataFrame) -> DataFrame:
 
 
 def build_partials_from_docs(
-    docs: DataFrame, avgdl: float, cfg: IndexConfig, combine: bool = True
+    docs: DataFrame,
+    avgdl: float,
+    cfg: IndexConfig,
+    combine: bool | None = None,
 ) -> DataFrame:
     """docs(doc_id, doc_len, tokens) -> partial block rows, single
     shuffle: per-doc pre-counted (term, tf) rows go STRAIGHT into the
@@ -328,6 +332,9 @@ def build_partials_from_docs(
     The shuffled rows are (term_hash, doc_id, doc_len[, tf]);
     salt/part/udoc are repartition/sort EXPRESSIONS recomputed in the
     kernel, never materialized into the rows."""
+    if combine is None:
+        # env knob for same-window A/B (tools/combine_scaling_ab.py)
+        combine = os.environ.get("SPARK_GRAFT_BUILD_COMBINE", "1") != "0"
     salt = salt_col(F.col("doc_id"), cfg)
     if combine:
         tok = doc_term_tf_exploded(docs)
