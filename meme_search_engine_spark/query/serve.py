@@ -424,59 +424,41 @@ class _EmbeddingPointLookup:
     def __init__(self, path: str):
         self._ds = ds.dataset(path, format="parquet")
         self._frags = list(self._ds.get_fragments())
-        from collections import OrderedDict
-
-        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
-        self._bytes = 0
         self._budget = (
             int(os.environ.get("SPARK_GRAFT_EMB_CACHE_MB", "256")) << 20
         )
-        self._too_big: set[int] = set()
+        # cacheability decided ONCE from parquet metadata: only a table
+        # whose WHOLE decoded size fits the budget is cached (decoded
+        # float64 rows run ~4x the compressed bytes — conservative).
+        # Anything larger keeps the dataset-level row-group-filtered
+        # read unchanged — a per-fragment LRU over a table much bigger
+        # than the budget would decode-and-evict in a churn loop on
+        # every cold query, strictly worse than the filtered read.
+        try:
+            est = 4 * sum(
+                rg.total_byte_size
+                for f in self._frags
+                for rg in f.row_groups
+            )
+        except Exception:
+            est = self._budget + 1
+        self._cacheable = est <= self._budget
+        self._frag_data: dict[int, tuple] = {}
         self._lock = threading.Lock()
 
     def _fragment(self, fi: int):
-        """(ids ascending, float64 rows) for fragment fi, cached under
-        the budget; None marks a fragment that must use filtered
-        reads (larger than the whole budget)."""
+        """(ids ascending, float64 rows) for fragment fi (cache-mode
+        only; whole table fits the budget, so no eviction is needed)."""
         with self._lock:
-            if fi in self._too_big:
-                return None
-            if fi in self._cache:
-                self._cache.move_to_end(fi)
-                return self._cache[fi]
-            # pre-size from metadata BEFORE decoding: never materialize
-            # a fragment the budget can't hold (decoded float64 rows
-            # run ~4x the compressed parquet bytes — conservative)
-            frag = self._frags[fi]
-            try:
-                est = 4 * sum(rg.total_byte_size for rg in frag.row_groups)
-            except Exception:
-                est = 0
-        if est > self._budget:
-            with self._lock:
-                self._too_big.add(fi)
-            return None
+            if fi in self._frag_data:
+                return self._frag_data[fi]
         t = self._frags[fi].to_table(columns=["vec_id", "embedding"])
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         vm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
         order = np.argsort(ids, kind="stable")
-        ids, vm = ids[order], vm[order]
-        entry = (ids, vm)
-        nbytes = ids.nbytes + vm.nbytes
+        entry = (ids[order], vm[order])
         with self._lock:
-            if nbytes > self._budget:
-                # metadata under-estimated: route future calls to the
-                # filtered path; this decode is used transiently once
-                self._too_big.add(fi)
-                return entry
-            if fi not in self._cache:
-                self._cache[fi] = entry
-                self._bytes += nbytes
-                while len(self._cache) > 1 and self._bytes > self._budget:
-                    _, (oid, ovm) = self._cache.popitem(last=False)
-                    self._bytes -= oid.nbytes + ovm.nbytes
-            else:
-                self._cache.move_to_end(fi)
+            self._frag_data.setdefault(fi, entry)
         return entry
 
     def vectors_for(self, ids: list[int]) -> tuple:
@@ -485,25 +467,25 @@ class _EmbeddingPointLookup:
             return np.empty(0, np.int64), np.empty((0, 0), np.float64)
         out_ids: list[np.ndarray] = []
         out_rows: list[np.ndarray] = []
-        filtered: list[int] = []
-        for fi in range(len(self._frags)):
-            entry = self._fragment(fi)
-            if entry is None:
-                filtered.append(fi)
-                continue
-            fids, vm = entry
-            if not len(fids) or fids[0] > need[-1] or fids[-1] < need[0]:
-                continue
-            pos = np.searchsorted(fids, need)
-            pos[pos >= len(fids)] = len(fids) - 1
-            hit = fids[pos] == need
-            if hit.any():
-                out_ids.append(need[hit])
-                out_rows.append(vm[pos[hit]])
-        for fi in filtered:
-            # exact fallback: row-group-filtered read of just this
-            # over-budget fragment
-            t = self._frags[fi].to_table(
+        if self._cacheable:
+            for fi in range(len(self._frags)):
+                fids, vm = self._fragment(fi)
+                if (
+                    not len(fids)
+                    or fids[0] > need[-1]
+                    or fids[-1] < need[0]
+                ):
+                    continue
+                pos = np.searchsorted(fids, need)
+                pos[pos >= len(fids)] = len(fids) - 1
+                hit = fids[pos] == need
+                if hit.any():
+                    out_ids.append(need[hit])
+                    out_rows.append(vm[pos[hit]])
+        else:
+            # exact original path: one dataset-level filtered read
+            # (row-group pruned; never loads the matrix)
+            t = self._ds.to_table(
                 columns=["vec_id", "embedding"],
                 filter=pc.field("vec_id").isin(need.tolist()),
             )
