@@ -349,6 +349,13 @@ def build_vamana_index(
         centroids = train_balanced_kmeans(embeddings, n_shards, n_iters)
     assigned = ivf_assign(embeddings, centroids, spill=1)
     if stitch_queries is not None:
+        # persist the (tiny) held-out query set INSIDE the index dir:
+        # appends rebuild affected shards and must re-route the same
+        # queries into them, or rebuilt shards would silently lose
+        # their OOD shortcut edges and append != cold stitched build
+        stitch_queries.select("query_id", "qvec").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "stitch_queries"))
         assigned = assigned.withColumn("is_query", F.lit(False)).unionByName(
             ivf_assign(
                 stitch_queries.select(
@@ -403,7 +410,10 @@ def append_vamana_index(
 
     Deterministic: frozen centroids + content-seeded builds mean an
     appended index equals a cold build over the union
-    (pytest-asserted)."""
+    (pytest-asserted).  On a STITCHED index, the persisted held-out
+    query set (stitch_queries/ inside the index dir) is re-routed into
+    the rebuilt shards, so appended shards keep their OOD shortcut
+    edges and append == cold stitched build still holds."""
     manifest = load_vamana_manifest(out_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     assigned = ivf_assign(new_embeddings, cents, spill=1)
@@ -420,6 +430,27 @@ def append_vamana_index(
     union = old.unionByName(
         assigned.select("vec_id", "embedding", "list_id")
     )
+    if manifest.get("stitched"):
+        sq_dir = os.path.join(out_dir, "stitch_queries")
+        if not os.path.isdir(sq_dir):
+            raise ValueError(
+                f"manifest says stitched=true but {sq_dir} is missing — "
+                "appending without the stitch queries would silently "
+                "drop the rebuilt shards' OOD edges"
+            )
+        stitch = ivf_assign(
+            spark.read.parquet(sq_dir).select(
+                F.col("query_id").alias("vec_id"),
+                F.col("qvec").alias("embedding"),
+            ),
+            cents,
+            spill=1,
+        ).filter(F.col("list_id").isin(affected))
+        union = union.withColumn("is_query", F.lit(False)).unionByName(
+            stitch.select("vec_id", "embedding", "list_id").withColumn(
+                "is_query", F.lit(True)
+            )
+        )
     (
         union.repartition("list_id")
         .groupBy("list_id")
@@ -427,6 +458,7 @@ def append_vamana_index(
             _shard_builder(
                 int(manifest["r"]), int(manifest["beam"]),
                 float(manifest["alpha"]),
+                int(manifest.get("max_add_per_stitch", 2)),
             ),
             _SHARD_SCHEMA,
         )

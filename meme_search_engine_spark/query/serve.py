@@ -392,34 +392,36 @@ class LocalVamana:
             vis, vis_d = _greedy_search(vm, adj, qn, start, beam)
             ids_parts.append(gids[vis])
             d_parts.append(vis_d)
-        if not ids_parts:
-            return []
-        ids = np.concatenate(ids_parts)
-        score = 1.0 - np.concatenate(d_parts)
-        order = np.lexsort((ids, -score))
-        ids, score = ids[order], score[order]
-        first = np.unique(ids, return_index=True)[1]
-        ids, score = ids[first], score[first]
-        top = np.lexsort((ids, -score))[:k]
-        return [int(i) for i in ids[top]]
+        # per-shard streaming fold: same collapse-to-max + (-score, id)
+        # semantics as LocalIVF (shared _fold_topk — one copy of the
+        # tie-break-sensitive logic), and the probed shards' visited
+        # sets never concatenate
+        rid, _ = _fold_topk(
+            ((i, 1.0 - d) for i, d in zip(ids_parts, d_parts)), k
+        )
+        return [int(i) for i in rid]
 
 
 class _EmbeddingPointLookup:
-    """Point lookup of exact vectors from an embedding table, with a
-    BYTE-BUDGETED LRU of decoded fragments (default 256 MB,
-    SPARK_GRAFT_EMB_CACHE_MB).
+    """Point lookup of exact vectors from an embedding table.  ALL-OR-
+    NOTHING cache, decided ONCE from parquet metadata: a table whose
+    whole decoded size fits the budget (default 256 MB,
+    SPARK_GRAFT_EMB_CACHE_MB) is decoded fragment-by-fragment on
+    demand and kept resident (no eviction is ever needed — everything
+    fits); a larger table is NEVER partially cached and keeps the
+    original dataset-level row-group-filtered read unchanged (a
+    partial LRU over an over-budget table would decode-and-evict in a
+    churn loop on every cold query, strictly worse than the filtered
+    read).
 
-    The hybrid serving path needs ~2C candidate vectors per request;
-    re-running a pyarrow isin-filter over the table per request was
-    >half of hybrid request time (profiled at ~12 of 21 ms).  A warm
-    fragment answers with one searchsorted — the driver-local analogue
-    of the reference's OS-page-cached mmap'd vectors
-    (query_disk_index.rs:73-81).  A fragment that will not fit the
-    budget is NEVER decoded whole: it keeps the old exact
-    row-group-filtered read, so a 10^12-row table degrades to
-    streaming reads, not to resident memory.  Values are identical to
-    the filtered read (same float32 -> float64 widening); found ids
-    return ascending with rows aligned."""
+    Why: the hybrid serving path needs ~2C candidate vectors per
+    request; re-running a pyarrow isin-filter over the table per
+    request was >half of hybrid request time (profiled at ~12 of
+    21 ms).  A warm fragment answers with one searchsorted — the
+    driver-local analogue of the reference's OS-page-cached mmap'd
+    vectors (query_disk_index.rs:73-81).  Values are identical to the
+    filtered read (same float32 -> float64 widening); found ids return
+    ascending with rows aligned."""
 
     def __init__(self, path: str):
         self._ds = ds.dataset(path, format="parquet")

@@ -358,3 +358,60 @@ def test_query_aware_stitch_pass(spark, emb_df, tmp_path):
     )
     assert r_stitch >= 0.9, (r_plain, r_stitch)
     print(f"stitch recall delta: plain={r_plain:.3f} stitched={r_stitch:.3f}")
+
+
+def test_append_preserves_stitch(spark, emb_df, tmp_path):
+    """Appending to a STITCHED index re-routes the persisted held-out
+    query set into the rebuilt shards: append == cold stitched build
+    of the union (a rebuild without the stitch queries would silently
+    drop the OOD shortcut edges — r5 review finding)."""
+    import pandas as pd
+
+    cents = deterministic_centroids(emb_df, 4)
+    vm_rows = emb_df.orderBy("vec_id").toPandas()
+    vm = np.stack(vm_rows["embedding"].to_numpy()).astype(np.float64)
+    r = np.random.default_rng(31)
+    picks = r.integers(0, len(vm), 30)
+    stitch_q = vm[picks] + 0.25 * r.standard_normal((30, vm.shape[1]))
+    sq = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(30, dtype=np.int64),
+                "qvec": [list(map(float, v)) for v in stitch_q],
+            }
+        ),
+        "query_id long, qvec array<float>",
+    )
+    old = emb_df.filter(F.col("vec_id") < 400)
+    new = emb_df.filter(F.col("vec_id") >= 400)
+
+    cold_dir = str(tmp_path / "vs_cold")
+    vamana.build_vamana_index(
+        spark, emb_df, cold_dir, n_shards=4, centroids=cents, r=8,
+        beam=24, stitch_queries=sq,
+    )
+    app_dir = str(tmp_path / "vs_app")
+    vamana.build_vamana_index(
+        spark, old, app_dir, n_shards=4, centroids=cents, r=8,
+        beam=24, stitch_queries=sq,
+    )
+    vamana.append_vamana_index(spark, new, app_dir)
+
+    # graphs identical shard-by-shard, not just search-identical
+    cold_rows = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(f"{cold_dir}/shards").collect()
+    )
+    app_rows = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(f"{app_dir}/shards").collect()
+    )
+    assert cold_rows == app_rows
+
+    # and a stitched manifest without the persisted queries refuses
+    # to append rather than silently dropping the edges
+    import shutil
+
+    shutil.rmtree(f"{app_dir}/stitch_queries")
+    with pytest.raises(ValueError, match="stitch"):
+        vamana.append_vamana_index(spark, new, app_dir)

@@ -64,6 +64,9 @@ def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
     errors = 0
 
     def one(body: dict) -> float:
+        """Latency of one request; raises only during the warm pass —
+        inside the timed run, failures count into `errors` and return
+        -1 so the load keeps going and the report is honest."""
         req = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/",
             data=json.dumps(body).encode(),
@@ -76,6 +79,14 @@ def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
             assert resp.status == 200
         return time.time() - t0
 
+    def one_counted(body: dict) -> float:
+        nonlocal errors
+        try:
+            return one(body)
+        except Exception:
+            errors += 1
+            return -1.0
+
     # warm pass over the distinct bodies (cold decode paid once, like
     # a live server)
     seen = set()
@@ -86,12 +97,15 @@ def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
             one(b)
     t0 = time.time()
     with ThreadPoolExecutor(concurrency) as ex:
-        for dt in ex.map(one, bodies):
-            lat.append(dt)
+        for dt in ex.map(one_counted, bodies):
+            if dt >= 0:
+                lat.append(dt)
     wall = time.time() - t0
     lat.sort()
+    if not lat:
+        return {"qps": 0.0, "p50_ms": -1, "p99_ms": -1, "errors": errors}
     return {
-        "qps": round(len(bodies) / wall, 1),
+        "qps": round(len(lat) / wall, 1),
         "p50_ms": round(1000 * lat[len(lat) // 2], 2),
         "p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 2),
         "errors": errors,

@@ -53,9 +53,12 @@ def worker(args) -> None:
     stats = corpus_stats(docs)
 
     def api(path: str):
-        base = "http://localhost:4040/api/v1/applications"
-        apps = json.load(urllib.request.urlopen(base))
-        return json.load(urllib.request.urlopen(f"{base}/{apps[0]['id']}{path}"))
+        # THIS session's UI (another Spark app on 4040 would otherwise
+        # be silently measured instead)
+        ui = spark.sparkContext.uiWebUrl
+        base = f"{ui}/api/v1/applications"
+        app_id = spark.sparkContext.applicationId
+        return json.load(urllib.request.urlopen(f"{base}/{app_id}{path}"))
 
     def shuffle_since(before_ids):
         w = r = 0
