@@ -45,6 +45,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .similarity import ivf_assign
 
 
+def decode_adjacency(gids: np.ndarray, neighbors) -> list[np.ndarray]:
+    """Stored GLOBAL neighbor vec_ids -> shard-local row positions,
+    vectorized: one flatten + searchsorted over the whole shard
+    instead of a Python dict lookup per edge (the per-edge loop
+    dominated cold shard decode at serving time).  `gids` must be
+    sorted ascending — both call sites sort by vec_id first.  Ids not
+    present in gids are dropped, same as the dict version."""
+    rows = [np.asarray(r, dtype=np.int64) for r in neighbors]
+    if not rows:
+        return []
+    lens = np.fromiter((len(r) for r in rows), dtype=np.int64,
+                       count=len(rows))
+    flat = np.concatenate(rows) if lens.sum() else np.empty(0, np.int64)
+    if not len(flat):
+        return [np.empty(0, np.int64) for _ in rows]
+    pos = np.minimum(np.searchsorted(gids, flat), len(gids) - 1)
+    valid = gids[pos] == flat
+    out: list[np.ndarray] = []
+    s = 0
+    for ln in lens:
+        e = s + int(ln)
+        v = valid[s:e]
+        out.append(pos[s:e][v])
+        s = e
+    return out
+
+
 def _greedy_search(
     vm: np.ndarray,
     adj: list[np.ndarray],
@@ -539,14 +566,7 @@ def vamana_search(
         vm = l2_normalize(
             np.stack(sh["embedding"].to_numpy()).astype(np.float64)
         )
-        pos = {int(g): i for i, g in enumerate(gids)}
-        adj = [
-            np.fromiter(
-                (pos[int(x)] for x in row if int(x) in pos),
-                dtype=np.int64,
-            )
-            for row in sh["neighbors"]
-        ]
+        adj = decode_adjacency(gids, sh["neighbors"])
         med = sh.index[sh["is_medoid"]]
         start = int(med[0]) if len(med) else 0
         out_q, out_v, out_c = [], [], []

@@ -341,13 +341,9 @@ class LocalVamana:
         vm = l2_normalize(
             np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         )
-        pos = {int(g): i for i, g in enumerate(gids)}
-        adj = [
-            np.fromiter(
-                (pos[int(x)] for x in row if int(x) in pos), dtype=np.int64
-            )
-            for row in pdf["neighbors"]
-        ]
+        from ..ops.vamana import decode_adjacency
+
+        adj = decode_adjacency(gids, pdf["neighbors"])
         med = pdf.index[pdf["is_medoid"]]
         start = int(med[0]) if len(med) else 0
         entry = (gids, vm, adj, start)
