@@ -58,8 +58,17 @@ def decode_adjacency(gids: np.ndarray, neighbors) -> list[np.ndarray]:
     lens = np.fromiter((len(r) for r in rows), dtype=np.int64,
                        count=len(rows))
     flat = np.concatenate(rows) if lens.sum() else np.empty(0, np.int64)
+    return decode_adjacency_flat(gids, flat, lens)
+
+
+def decode_adjacency_flat(
+    gids: np.ndarray, flat: np.ndarray, lens: np.ndarray
+) -> list[np.ndarray]:
+    """Core of decode_adjacency over an already-flattened edge list +
+    per-row lengths — the shape an Arrow ListArray's values/
+    value_lengths provide with no per-row Python at all."""
     if not len(flat):
-        return [np.empty(0, np.int64) for _ in rows]
+        return [np.empty(0, np.int64) for _ in range(len(lens))]
     pos = np.minimum(np.searchsorted(gids, flat), len(gids) - 1)
     valid = gids[pos] == flat
     out: list[np.ndarray] = []

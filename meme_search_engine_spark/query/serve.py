@@ -77,6 +77,18 @@ _IVF_STORAGE_COLS = {
 }
 
 
+def _list_matrix(t, name: str, dtype=np.float64) -> np.ndarray:
+    """array<float> column of a pyarrow table -> (n_rows, dim) matrix
+    via the Arrow values buffer (flatten respects slice offsets) —
+    ~200x faster than to_pylist and bit-identical (same float32 ->
+    float64 widening)."""
+    if not t.num_rows:
+        return np.empty((0, 0), dtype=dtype)
+    col = t.column(name).combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=dtype).reshape(t.num_rows, -1)
+
+
 def _fold_topk(parts, k: int):
     """Streaming exact top-k over (ids, scores) chunks with
     duplicate-collapse-to-max semantics: per merge, concat running
@@ -163,7 +175,10 @@ class LocalIVF:
         if not t.num_rows:
             entry = None
         else:
-            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            ids = np.asarray(
+                t.column("vec_id").combine_chunks().to_numpy(),
+                dtype=np.int64,
+            )
             if self.storage == "pq":
                 m = np.asarray(self.manifest["pq_codebooks"]).shape[0]
                 codes = np.frombuffer(
@@ -194,9 +209,7 @@ class LocalIVF:
                         np.float64
                     )
                 else:
-                    vm = np.asarray(
-                        t.column(col).to_pylist(), dtype=np.float64
-                    )
+                    vm = _list_matrix(t, col)
                 entry = (ids, vm, np.linalg.norm(vm, axis=1))
         nbytes = (
             sum(a.nbytes for a in entry if a is not None)
@@ -335,16 +348,29 @@ class LocalVamana:
             with self._shard_lock:
                 self._shards[lid] = None
             return None
-        t = pa.concat_tables(tables)
-        pdf = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
-        gids = pdf["vec_id"].to_numpy(np.int64)
-        vm = l2_normalize(
-            np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        )
-        from ..ops.vamana import decode_adjacency
+        from ..ops.vamana import decode_adjacency_flat
 
-        adj = decode_adjacency(gids, pdf["neighbors"])
-        med = pdf.index[pdf["is_medoid"]]
+        t = pa.concat_tables(tables).combine_chunks()
+        vid = np.asarray(
+            t.column("vec_id").combine_chunks().to_numpy(), dtype=np.int64
+        )
+        order = np.argsort(vid, kind="stable")
+        t = t.take(order)
+        gids = vid[order]
+        vm = l2_normalize(_list_matrix(t, "embedding"))
+        nb = t.column("neighbors").combine_chunks()
+        adj = decode_adjacency_flat(
+            gids,
+            np.asarray(
+                nb.flatten().to_numpy(zero_copy_only=False), dtype=np.int64
+            ),
+            nb.value_lengths().to_numpy(zero_copy_only=False),
+        )
+        med = np.flatnonzero(
+            t.column("is_medoid").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
         start = int(med[0]) if len(med) else 0
         entry = (gids, vm, adj, start)
         nbytes = gids.nbytes + vm.nbytes + sum(a.nbytes for a in adj)
@@ -451,8 +477,10 @@ class _EmbeddingPointLookup:
             if fi in self._frag_data:
                 return self._frag_data[fi]
         t = self._frags[fi].to_table(columns=["vec_id", "embedding"])
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        vm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.asarray(
+            t.column("vec_id").combine_chunks().to_numpy(), dtype=np.int64
+        )
+        vm = _list_matrix(t, "embedding")
         order = np.argsort(ids, kind="stable")
         entry = (ids[order], vm[order])
         with self._lock:
