@@ -121,3 +121,34 @@ def test_local_searcher_latency(built):
     lat.sort()
     # interactive: p50 well under the Spark job-launch floor
     assert lat[10] < 0.5, lat
+
+
+def test_embedding_point_lookup_budget_paths(sf01_dir):
+    """_EmbeddingPointLookup must return IDENTICAL (ids, vectors) from
+    both of its modes: cached (table fits the byte budget) and the
+    over-budget dataset-level filtered fallback (budget 0)."""
+    import os
+
+    import numpy as np
+
+    from meme_search_engine_spark.query.serve import _EmbeddingPointLookup
+
+    path = f"{sf01_dir}/embeddings.parquet"
+    ids = [3, 7, 11, 200, 123456789]  # incl. a missing id
+
+    cached = _EmbeddingPointLookup(path)
+    assert cached._cacheable
+    got_c = cached.vectors_for(ids)
+
+    os.environ["SPARK_GRAFT_EMB_CACHE_MB"] = "0"
+    try:
+        filtered = _EmbeddingPointLookup(path)
+        assert not filtered._cacheable
+        got_f = filtered.vectors_for(ids)
+    finally:
+        del os.environ["SPARK_GRAFT_EMB_CACHE_MB"]
+
+    assert np.array_equal(got_c[0], got_f[0])
+    assert np.array_equal(got_c[1], got_f[1])
+    assert len(got_c[0]) == 4  # the missing id dropped
+    assert list(got_c[0]) == sorted(got_c[0])  # ascending contract
