@@ -134,6 +134,90 @@ def _greedy_search(
     return np.asarray(out_ids, dtype=np.int64), np.asarray(out_d)
 
 
+def _greedy_search_batch(
+    vm: np.ndarray,
+    adj_mat: np.ndarray,
+    qm: np.ndarray,
+    start: int,
+    beam: int,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched best-first search: B queries advance hop-by-hop against
+    the same FROZEN graph; per hop the selection, neighbor gather, and
+    dot products are single numpy batch ops across all still-active
+    queries (the reference's build runs many inserts' searches
+    concurrently against a sync-frozen graph the same way,
+    generate_index_shard.rs:104-127).  Semantics per query are
+    identical to _greedy_search; only the loop order changes (outer
+    over hops, inner vectorized over queries).
+
+    vm: (n, d) unit rows; adj_mat: (n, r) int64 padded with -1;
+    qm: (B, d) unit queries.  Returns one (visited_ids, visited_dists)
+    pair per query, in exploration order."""
+    n = vm.shape[0]
+    B = qm.shape[0]
+    r = adj_mat.shape[1]
+    L = int(beam)
+    rows = np.arange(B)
+    # fixed-width beam buffers, +inf padded: ids junk where dist=inf
+    cand_ids = np.zeros((B, L), dtype=np.int64)
+    cand_d = np.full((B, L), np.inf)
+    cand_ids[:, 0] = start
+    cand_d[:, 0] = 1.0 - qm @ vm[start]
+    # selection copy with visited entries masked +inf (same trick as
+    # the scalar version); the UNMASKED cand_d drives the beam trim
+    sel_d = cand_d.copy()
+    in_cand = np.zeros((B, n), dtype=bool)
+    in_cand[:, start] = True
+    log_q: list[np.ndarray] = []
+    log_node: list[np.ndarray] = []
+    log_d: list[np.ndarray] = []
+    while True:
+        p = np.argmin(sel_d, axis=1)
+        best = sel_d[rows, p]
+        act = np.flatnonzero(best < np.inf)
+        if not len(act):
+            break
+        pa = p[act]
+        nodes = cand_ids[act, pa]
+        log_q.append(act)
+        log_node.append(nodes)
+        log_d.append(cand_d[act, pa])
+        sel_d[act, pa] = np.inf
+        nbrs = adj_mat[nodes]  # (A, r), -1 padded
+        nbrs_c = np.maximum(nbrs, 0)
+        fresh = (nbrs >= 0) & ~in_cand[act[:, None], nbrs_c]
+        if not fresh.any():
+            continue
+        in_cand[act[:, None], nbrs_c] |= fresh
+        # distances for FRESH entries only: flat gather + row-wise dot
+        # (the padded (A, width, d) matmul gathered ~3x more vectors
+        # than ever get scored)
+        frow, fcol = np.nonzero(fresh)
+        d = np.full(fresh.shape, np.inf)
+        d[frow, fcol] = 1.0 - (
+            vm[nbrs_c[frow, fcol]] * qm[act[frow]]
+        ).sum(axis=1)
+        tmp_d = np.concatenate([cand_d[act], d], axis=1)
+        tmp_ids = np.concatenate([cand_ids[act], nbrs_c], axis=1)
+        tmp_sel = np.concatenate([sel_d[act], d], axis=1)
+        keep = np.argpartition(tmp_d, L - 1, axis=1)[:, :L]
+        ar = np.arange(len(act))[:, None]
+        cand_d[act] = tmp_d[ar, keep]
+        cand_ids[act] = tmp_ids[ar, keep]
+        sel_d[act] = tmp_sel[ar, keep]
+    if not log_q:
+        empty = (np.empty(0, np.int64), np.empty(0))
+        return [empty for _ in range(B)]
+    q_all = np.concatenate(log_q)
+    node_all = np.concatenate(log_node)
+    d_all = np.concatenate(log_d)
+    order = np.argsort(q_all, kind="stable")  # keeps hop order per query
+    node_all, d_all = node_all[order], d_all[order]
+    counts = np.bincount(q_all, minlength=B)
+    splits = np.cumsum(counts)[:-1]
+    return list(zip(np.split(node_all, splits), np.split(d_all, splits)))
+
+
 def _robust_prune(
     vm: np.ndarray,
     point: int,
@@ -143,11 +227,16 @@ def _robust_prune(
 ) -> np.ndarray:
     """DiskANN robust prune: keep the closest candidate, discard any
     candidate closer to a kept one than (its distance to the point)
-    divided by alpha; repeat until R neighbors are kept."""
-    cand = np.unique(cand[cand != point])
+    divided by alpha; repeat until R neighbors are kept.
+
+    Duplicate candidate ids need no explicit dedup: a kept candidate
+    occludes its own copies (their pairwise gram distance is 0 and
+    d_p is clipped >= 0, so alpha*0 <= d_p always) — dropping the
+    np.unique sort halves the per-call cost on the build's hot path."""
+    cand = cand[cand != point]
     if not len(cand):
         return cand
-    d_p = 1.0 - vm[cand] @ vm[point]
+    d_p = np.maximum(1.0 - vm[cand] @ vm[point], 0.0)
     order = np.argsort(d_p, kind="stable")
     cand, d_p = cand[order], d_p[order]
     m = len(cand)
@@ -178,6 +267,7 @@ def build_vamana_graph(
     alpha: float = 1.2,
     seed: int = 0,
     n_passes: int = 2,
+    batch_size: int = 512,
 ) -> tuple[np.ndarray, int]:
     """Vamana over (n, d) rows (normalized internally) ->
     (adjacency (n, r) int64 padded with -1, medoid index).
@@ -185,36 +275,73 @@ def build_vamana_graph(
     Deterministic: the random init graph comes from a seeded
     Generator, insertion order is 0..n-1.  Two passes, the second at
     `alpha` and the first at 1.0, as in the paper (and the reference's
-    alpha / alpha_2 split, generate_index_shard.rs:29-33,123)."""
+    alpha / alpha_2 split, generate_index_shard.rs:29-33,123).
+
+    Insertions run in BATCHED ROUNDS of `batch_size` (DiskANN's
+    sync-batch parallel build): all searches of a round share the
+    graph as of the round start and execute as ONE vectorized batch
+    (_greedy_search_batch); prune + back-edge updates then apply in
+    ascending node order, so the build stays deterministic for a
+    given batch_size.  batch staleness (a round's searches not seeing
+    the round's own new edges) is the published algorithm's own
+    parallelism trade and is covered by the second pass.
+
+    Back-edges accumulate into SLACK CAPACITY (rows hold up to 4r
+    neighbors mid-build; the reference's maxc=750 vs R=64 is the same
+    amortization, generate_index_shard.rs:29-33) and robust-prune back
+    to r only on overflow — one prune per ~3r arrivals instead of one
+    per arrival; a final sweep prunes every over-degree row so the
+    returned adjacency is exactly (n, r)."""
     n = vm.shape[0]
     vm = l2_normalize(np.ascontiguousarray(vm, dtype=np.float64))
     rng = np.random.default_rng(seed)
     if n == 1:
         return np.full((1, r), -1, dtype=np.int64), 0
-    adj: list[np.ndarray] = []
+    cap = 4 * r
+    adj_mat = np.full((n, cap), -1, dtype=np.int64)
+    deg = np.zeros(n, dtype=np.int64)
     for i in range(n):
         nbrs = rng.choice(n - 1, size=min(r, n - 1), replace=False)
         nbrs[nbrs >= i] += 1  # exclude self
-        adj.append(nbrs.astype(np.int64))
+        adj_mat[i, : len(nbrs)] = nbrs
+        deg[i] = len(nbrs)
     medoid = int(np.argmax(vm @ vm.mean(axis=0)))
+
+    def set_row(i: int, new: np.ndarray) -> None:
+        adj_mat[i, : len(new)] = new
+        adj_mat[i, len(new):] = -1
+        deg[i] = len(new)
+
+    a = 1.0
     for p in range(n_passes):
         a = 1.0 if p == 0 else alpha
-        for i in range(n):
-            vis_ids, _ = _greedy_search(vm, adj, vm[i], medoid, beam)
-            cand = np.concatenate([vis_ids, adj[i]])
-            adj[i] = _robust_prune(vm, i, cand, a, r)
-            for j in adj[i]:
-                j = int(j)
-                if i not in adj[j]:
-                    merged = np.append(adj[j], i)
-                    if len(merged) > r:
-                        adj[j] = _robust_prune(vm, j, merged, a, r)
-                    else:
-                        adj[j] = merged
-    out = np.full((n, r), -1, dtype=np.int64)
-    for i in range(n):
-        out[i, : len(adj[i])] = adj[i]
-    return out, medoid
+        for s in range(0, n, batch_size):
+            batch = range(s, min(s + batch_size, n))
+            visited = _greedy_search_batch(
+                vm, adj_mat, vm[s : s + batch_size], medoid, beam
+            )
+            for bi, i in enumerate(batch):
+                vis_ids = visited[bi][0]
+                cand = np.concatenate([vis_ids, adj_mat[i][: deg[i]]])
+                new = _robust_prune(vm, i, cand, a, r)
+                set_row(i, new)
+                for j in new:
+                    j = int(j)
+                    row = adj_mat[j][: deg[j]]
+                    if not (row == i).any():
+                        if deg[j] < cap:
+                            adj_mat[j, deg[j]] = i
+                            deg[j] += 1
+                        else:
+                            set_row(
+                                j,
+                                _robust_prune(
+                                    vm, j, np.append(row, i), a, r
+                                ),
+                            )
+    for i in np.flatnonzero(deg > r):
+        set_row(int(i), _robust_prune(vm, int(i), adj_mat[i][: deg[i]], a, r))
+    return np.ascontiguousarray(adj_mat[:, :r]), medoid
 
 
 def stitch_graph_with_queries(
@@ -578,17 +705,26 @@ def vamana_search(
         adj = decode_adjacency(gids, sh["neighbors"])
         med = sh.index[sh["is_medoid"]]
         start = int(med[0]) if len(med) else 0
+        my_q = shard_queries.get(lid, [])
         out_q, out_v, out_c = [], [], []
-        for qi in shard_queries.get(lid, []):
-            q = np.asarray(qn_list[qi], dtype=np.float64)
-            vis_ids, vis_d = _greedy_search(vm, adj, q, start, beam_eff)
-            counters.add(int(len(vis_ids)))
-            total_rows.add(int(len(gids)))
-            kk = min(k_eff, len(vis_ids))
-            top = np.lexsort((gids[vis_ids], vis_d))[:kk]
-            out_q.extend([int(qids[qi])] * kk)
-            out_v.extend(gids[vis_ids[top]].tolist())
-            out_c.extend((1.0 - vis_d[top]).tolist())
+        if my_q:
+            # all of this shard's queries beam-search as ONE vectorized
+            # batch; per-query results are identical to the scalar
+            # _greedy_search (pytest-asserted equivalence)
+            r_width = max((len(a) for a in adj), default=1) or 1
+            adj_mat = np.full((len(gids), r_width), -1, dtype=np.int64)
+            for i, row in enumerate(adj):
+                adj_mat[i, : len(row)] = row
+            qm = np.asarray([qn_list[qi] for qi in my_q], dtype=np.float64)
+            batched = _greedy_search_batch(vm, adj_mat, qm, start, beam_eff)
+            for qi, (vis_ids, vis_d) in zip(my_q, batched):
+                counters.add(int(len(vis_ids)))
+                total_rows.add(int(len(gids)))
+                kk = min(k_eff, len(vis_ids))
+                top = np.lexsort((gids[vis_ids], vis_d))[:kk]
+                out_q.extend([int(qids[qi])] * kk)
+                out_v.extend(gids[vis_ids[top]].tolist())
+                out_c.extend((1.0 - vis_d[top]).tolist())
         return pd.DataFrame(
             {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
         )

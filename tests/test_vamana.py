@@ -415,3 +415,25 @@ def test_append_preserves_stitch(spark, emb_df, tmp_path):
     shutil.rmtree(f"{app_dir}/stitch_queries")
     with pytest.raises(ValueError, match="stitch"):
         vamana.append_vamana_index(spark, new, app_dir)
+
+
+def test_batched_search_equals_scalar(emb_df):
+    """_greedy_search_batch (the build's vectorized round kernel and
+    vamana_search's per-shard query batch) must visit the SAME nodes
+    in the SAME order as the scalar _greedy_search for every query —
+    the batching is a loop-order change, not an algorithm change."""
+    from meme_search_engine_spark.common.vecmath import l2_normalize
+
+    pdf = emb_df.limit(400).toPandas().sort_values("vec_id")
+    vm = l2_normalize(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    )
+    adj_mat, medoid = vamana.build_vamana_graph(vm, r=8, beam=24, seed=3)
+    adj = [row[row >= 0] for row in adj_mat]
+    qm = vm[:12]
+    batched = vamana._greedy_search_batch(vm, adj_mat, qm, medoid, 24)
+    for qi in range(len(qm)):
+        vis, vis_d = vamana._greedy_search(vm, adj, qm[qi], medoid, 24)
+        b_vis, b_d = batched[qi]
+        assert (vis == b_vis).all()
+        assert np.allclose(vis_d, b_d)
