@@ -214,6 +214,7 @@ def make_handler(
                         w_vec=int(w_vec),
                         with_urls=True,
                         ivf_dir=ivf_dir,
+                        n_candidates=int(req.get("n_candidates", 50)),
                         dedup_threshold=(
                             float(dt) if dt is not None else None
                         ),

@@ -61,7 +61,6 @@ def _ensure_hybrid_fixtures(n_docs: int) -> tuple[str, str]:
 
 def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
     lat: list[float] = []
-    errors = 0
 
     def one(body: dict) -> float:
         """Latency of one request; raises only during the warm pass —
@@ -80,11 +79,12 @@ def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
         return time.time() - t0
 
     def one_counted(body: dict) -> float:
-        nonlocal errors
+        # no shared counter mutation in pool threads — failures return
+        # -1 and are COUNTED after the pool drains (a nonlocal += from
+        # concurrent workers is a lost-update race, ADVICE r05)
         try:
             return one(body)
         except Exception:
-            errors += 1
             return -1.0
 
     # warm pass over the distinct bodies (cold decode paid once, like
@@ -97,10 +97,10 @@ def run_mode(srv, bodies: list[dict], concurrency: int) -> dict:
             one(b)
     t0 = time.time()
     with ThreadPoolExecutor(concurrency) as ex:
-        for dt in ex.map(one_counted, bodies):
-            if dt >= 0:
-                lat.append(dt)
+        results = list(ex.map(one_counted, bodies))
     wall = time.time() - t0
+    lat = [dt for dt in results if dt >= 0]
+    errors = len(results) - len(lat)
     lat.sort()
     if not lat:
         return {"qps": 0.0, "p50_ms": -1, "p99_ms": -1, "errors": errors}
