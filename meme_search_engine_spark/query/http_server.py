@@ -259,6 +259,9 @@ def make_handler(
                     200,
                     {
                         "status": "ok",
+                        # which process answered — observable worker
+                        # spread for the pre-fork server (mp_server)
+                        "pid": os.getpid(),
                         "n_docs": searcher.stats["N"],
                         "avgdl": searcher.stats["avgdl"],
                     },

@@ -1,0 +1,145 @@
+"""Pre-fork multi-process HTTP serving — N worker processes accepting
+on ONE shared listening socket, each with its own interpreter (own
+GIL), own LocalSearcher/LocalIVF decoded caches, and own thread pool.
+
+Why: the single-process ThreadingHTTPServer serves a warm hybrid query
+in ~3.5 ms of pure-Python/numpy work, but all handler threads share one
+GIL, so under a 100-concurrent burst the p99 stacks up to seconds
+(BENCH/BASELINE.md §load).  The reference's server runs one search
+runtime per hardware thread over shared mmap'd state
+(/root/reference/src/query_disk_index.rs:711-736 — a thread-per-core
+tokio runtime); CPython's GIL makes the PROCESS the unit that scales
+across cores, so the equivalent shape here is the classic pre-fork
+accept model: the parent binds + listens once, forks N workers, and
+every worker blocks in accept(2) on the SAME socket — the kernel hands
+each incoming connection to exactly one waiting worker, no userspace
+load balancer, no proxy hop.
+
+Each worker constructs its own LocalSearcher AFTER the fork (pyarrow
+dataset handles and memory-mapped footers are not fork-safe to share),
+so decoded caches are per-worker: a cold term/fragment is decoded once
+per worker rather than once per host.  That is the standard pre-fork
+trade — N× warm memory for N× GIL throughput — and the caches are
+byte-budgeted, so worst-case resident memory is workers × budget.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import signal
+import socket
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+
+def _worker_main(
+    sock: socket.socket,
+    index_dir: str,
+    embeddings_path: str | None,
+    ivf_dir: str | None,
+) -> None:  # pragma: no cover - exercised via ForkServer in tests
+    """Worker body: build THIS process's searcher, then serve forever
+    on the inherited listening socket."""
+    # restore default SIGTERM so parent.stop() terminates us cleanly
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+    from .http_server import PresetStore, make_handler
+    from .serve import LocalSearcher
+
+    searcher = LocalSearcher(index_dir)
+    presets = PresetStore(index_dir)
+    handler = make_handler(
+        searcher, presets, embeddings_path, ivf_dir=ivf_dir
+    )
+
+    class _Worker(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def __init__(self):
+            # bind_and_activate=False: adopt the parent's already
+            # bound+listening socket instead of binding our own
+            super().__init__(
+                sock.getsockname(), handler, bind_and_activate=False
+            )
+            self.socket.close()  # the fresh unbound one
+            self.socket = sock
+
+        def server_close(self):
+            pass  # shared socket: the parent owns its lifetime
+
+    _Worker().serve_forever(poll_interval=0.5)
+
+
+class ForkServer:
+    """N-process pre-fork server over one shared listening socket.
+
+    Same constructor surface as SearchServer plus `workers`; start()
+    blocks until every worker answers /health, so callers can fire
+    load immediately.  stop() SIGTERMs the workers and closes the
+    socket."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        workers: int | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        embeddings_path: str | None = None,
+        ivf_dir: str | None = None,
+    ):
+        self.workers = workers or min(8, os.cpu_count() or 1)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(128)  # match _Server.request_queue_size
+        self.host = host
+        self.port = self._sock.getsockname()[1]
+        # fork (not spawn): the workers inherit the listening fd
+        # directly and skip a full reimport; the child touches only
+        # stdlib + pyarrow + numpy after the fork
+        ctx = mp.get_context("fork")
+        self._procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(self._sock, index_dir, embeddings_path, ivf_dir),
+                daemon=True,
+            )
+            for _ in range(self.workers)
+        ]
+
+    def start(self, timeout: float = 60.0) -> "ForkServer":
+        for p in self._procs:
+            p.start()
+        deadline = time.time() + timeout
+        # one /health round-trip per worker: connections land on
+        # DISTINCT workers only probabilistically, but any single
+        # success proves the socket is live; ready = first 200.
+        while True:
+            try:
+                with urllib.request.urlopen(
+                    f"http://{self.host}:{self.port}/health", timeout=5
+                ) as resp:
+                    if resp.status == 200:
+                        return self
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"no worker became healthy within {timeout}s"
+                    )
+                time.sleep(0.05)
+
+    def stop(self) -> None:
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=10)
+        self._sock.close()
+
+    def __enter__(self) -> "ForkServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

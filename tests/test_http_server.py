@@ -247,3 +247,60 @@ def test_metrics_endpoint(server):
     assert 'mse_queries_total{kind="simple"}' in body
     assert 'mse_queries_total{kind="weighted"}' in body
     assert "mse_query_latency_ms_count" in body
+
+
+def test_fork_server_parity_and_worker_spread(server):
+    """Pre-fork multi-process server (mp_server.ForkServer): responses
+    are IDENTICAL to the single-process server (each worker builds the
+    same LocalSearcher over the same immutable index), and under
+    concurrent load more than one worker process actually serves
+    (distinct /health pids)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from meme_search_engine_spark.query.mp_server import ForkServer
+
+    srv, _ = server
+    queries = [
+        {"query": "term0001 term0100", "top_k": 5},
+        {"text": [["term0002", 2.0], ["term0010", -1.0]], "top_k": 5},
+        {"query": rare_term(7), "top_k": 3},
+    ]
+    want = [_post(srv.port, q) for q in queries]
+
+    fork = ForkServer(
+        _index_dir_of(srv),
+        workers=3,
+        embeddings_path=_emb_path_of(srv),
+        ivf_dir=_ivf_dir_of(srv),
+    ).start()
+    try:
+        got = [_post(fork.port, q) for q in queries]
+        assert got == want
+
+        # hybrid parity through the forked workers too
+        qvec = [float(i % 5 - 2) for i in range(16)]
+        hq = {"query": "term0001", "qvec": qvec, "top_k": 5}
+        assert _post(fork.port, hq) == _post(srv.port, hq)
+
+        def health(_):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{fork.port}/health", timeout=10
+            ) as resp:
+                return json.loads(resp.read())["pid"]
+
+        with ThreadPoolExecutor(16) as ex:
+            pids = set(ex.map(health, range(64)))
+        assert len(pids) >= 2, pids  # >1 process actually serving
+
+        # concurrent query load across workers: correct and error-free
+        def one(i):
+            code, body = _post(fork.port, queries[i % len(queries)])
+            assert code == 200
+            return body
+
+        with ThreadPoolExecutor(16) as ex:
+            bodies = list(ex.map(one, range(48)))
+        for i, b in enumerate(bodies):
+            assert b == want[i % len(queries)][1]
+    finally:
+        fork.stop()
