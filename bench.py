@@ -221,6 +221,79 @@ def main() -> None:
             if last_idx is not None:
                 shutil.rmtree(last_idx, ignore_errors=True)
 
+        # ---- multi-epoch serving cost + compaction recovery (VERDICT
+        # r05 #6): appends are correctness-tested but the df-fixup /
+        # multi-epoch read cost needed a number.  Build 70k, append
+        # 15k twice (3 epochs), measure warm serve p50 + the WAND
+        # batch (its plan joins the broadcast df fixup when
+        # n_epochs>1), then compact_index() and re-measure — the
+        # delta IS the epoch penalty, the compacted row its recovery.
+        from meme_search_engine_spark.index.builder import (
+            append_to_index,
+            compact_index,
+        )
+
+        def _serve_p50(idx_path: str) -> float:
+            s = LocalSearcher(idx_path)
+            s.search("zzzwarmupterm")  # fragment map only
+            bq: dict[int, float] = {}
+            for _ in range(3):
+                for q in big_queries:
+                    t0 = time.time()
+                    s.search(q["text"], q["k"])
+                    dt = time.time() - t0
+                    qid = q["query_id"]
+                    if qid not in bq or dt < bq[qid]:
+                        bq[qid] = dt
+            latq = sorted(bq.values())
+            return round(1000 * latq[len(latq) // 2], 2)
+
+        def _wand_sec(idx_path: str) -> float:
+            seg, ts, man = load_index(spark, idx_path)
+            seg = seg.cache()
+            seg.count()
+            qdf_big = spark.createDataFrame(
+                [(q["query_id"], q["text"], q["k"]) for q in big_queries],
+                "query_id int, text string, k int",
+            )
+            try:
+                best_w = None
+                for _ in range(2):
+                    t0 = time.time()
+                    wand_topk(spark, seg, ts, man, qdf_big).collect()
+                    dt = time.time() - t0
+                    best_w = dt if best_w is None else min(best_w, dt)
+                return round(best_w, 3)
+            finally:
+                seg.unpersist()
+
+        me_dir = tempfile.mkdtemp(prefix="bench_idx_me_")
+        try:
+            cut1, cut2 = int(n_big * 0.7), int(n_big * 0.85)
+            build_index(
+                spark, big_pages.filter(f"doc_id < {cut1}"), me_dir,
+                IndexConfig(salt_shift=14, n_buckets=64, n_parts=8),
+            )
+            append_to_index(
+                spark,
+                big_pages.filter(
+                    f"doc_id >= {cut1} and doc_id < {cut2}"
+                ),
+                me_dir,
+            )
+            append_to_index(
+                spark, big_pages.filter(f"doc_id >= {cut2}"), me_dir
+            )
+            extras["serve_p50_ms_100k_multiepoch"] = _serve_p50(me_dir)
+            extras["wand_100k_multiepoch_sec"] = _wand_sec(me_dir)
+            t0 = time.time()
+            compact_index(spark, me_dir)
+            extras["compact_100k_sec"] = round(time.time() - t0, 3)
+            extras["serve_p50_ms_100k_compacted"] = _serve_p50(me_dir)
+            extras["wand_100k_compacted_sec"] = _wand_sec(me_dir)
+        finally:
+            shutil.rmtree(me_dir, ignore_errors=True)
+
         # ---- ANN tier at 100k vectors (r4 advice #3): build + probe
         # latency for BOTH persistent vector indexes, so ANN perf gets
         # the same round-over-round regression trail BM25 has ----
@@ -266,11 +339,28 @@ def main() -> None:
 
         ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
         vam_dir = tempfile.mkdtemp(prefix="bench_vam_")
+        # PINNED ANN bench config, emitted into the JSON so every
+        # BENCH_rN is self-describing and round-over-round probe
+        # latencies are mechanically like-for-like (the r5 2.18 ->
+        # 6.22 ms "regression" was an undisclosed n_probe/shards
+        # change — VERDICT r05 #3).  Changing any value here requires
+        # emitting BOTH old- and new-config rows for one round.
+        ann_cfg = {
+            "ivf_n_lists": 64, "ivf_storage": "fp16", "ivf_n_probe": 8,
+            "vamana_n_shards": 32, "vamana_n_probe": 4,
+        }
+        extras["ann_config"] = ann_cfg
         try:
             t0 = time.time()
-            build_ivf_index(spark, emb, ivf_dir, n_lists=64, storage="fp16")
+            build_ivf_index(
+                spark, emb, ivf_dir,
+                n_lists=ann_cfg["ivf_n_lists"],
+                storage=ann_cfg["ivf_storage"],
+            )
             extras["ivf_build_sec_100k"] = round(time.time() - t0, 3)
-            c, w = probe_p50(lambda: LocalIVF(ivf_dir), n_probe=8)
+            c, w = probe_p50(
+                lambda: LocalIVF(ivf_dir), n_probe=ann_cfg["ivf_n_probe"]
+            )
             extras["ivf_probe_cold_p50_ms"] = c
             extras["ivf_probe_p50_ms"] = w
 
@@ -279,9 +369,15 @@ def main() -> None:
             # so wall = shard_size-bound) — n_probe scaled to keep the
             # probed fraction ~4/32 = 12.5% of the corpus
             t0 = time.time()
-            build_vamana_index(spark, emb, vam_dir, n_shards=32)
+            build_vamana_index(
+                spark, emb, vam_dir,
+                n_shards=ann_cfg["vamana_n_shards"],
+            )
             extras["vamana_build_sec_100k"] = round(time.time() - t0, 3)
-            c, w = probe_p50(lambda: LocalVamana(vam_dir), n_probe=4)
+            c, w = probe_p50(
+                lambda: LocalVamana(vam_dir),
+                n_probe=ann_cfg["vamana_n_probe"],
+            )
             extras["vamana_probe_cold_p50_ms"] = c
             extras["vamana_probe_p50_ms"] = w
         finally:
