@@ -122,10 +122,33 @@ def worker(cpus: int, pages_dir: str, queries_path: str) -> None:
         segments, term_stats, manifest = load_index(spark, idx_dir)
         segments = segments.cache()
         segments.count()
-        qdf = spark.read.parquet(queries_path)
-        t0 = time.time()
-        n_results = wand_topk(spark, segments, term_stats, manifest, qdf).count()
-        query_sec = time.time() - t0
+        # query-side scaling (VERDICT r05 #4): tile the reference query
+        # set to >=120 distinct query_ids so the WAND batch carries
+        # enough (query, doc-range) groups to occupy every core at
+        # local[8]; best-of-2 (the batch is cheap relative to the build
+        # and single draws swing with hypervisor noise)
+        import pyspark.sql.functions as F
+
+        qbase = spark.read.parquet(queries_path)
+        n_q = qbase.count()
+        reps = max(1, -(-120 // n_q))  # ceil
+        qdf = qbase
+        for r in range(1, reps):
+            qdf = qdf.unionAll(
+                qbase.withColumn(
+                    "query_id", F.col("query_id") + F.lit(r * n_q)
+                )
+            )
+        qdf = qdf.cache()
+        n_queries = qdf.count()
+        query_sec, n_results = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n_results = wand_topk(
+                spark, segments, term_stats, manifest, qdf
+            ).count()
+            dt = time.time() - t0
+            query_sec = dt if query_sec is None else min(query_sec, dt)
         print(
             "WORKER_RESULT "
             + json.dumps(
@@ -135,6 +158,8 @@ def worker(cpus: int, pages_dir: str, queries_path: str) -> None:
                     "build_sec": round(build_sec, 3),
                     "docs_per_sec": round(n_docs / build_sec, 1),
                     "query_sec": round(query_sec, 3),
+                    "n_queries": n_queries,
+                    "queries_per_sec": round(n_queries / query_sec, 1),
                     "n_results": n_results,
                     "phases": phases,
                     "cpu_control_mops_per_proc": control,
@@ -208,6 +233,7 @@ def main() -> None:
     ratio = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     eff = ratio / (hi / lo)
     q_ratio = results[lo]["query_sec"] / max(results[hi]["query_sec"], 1e-9)
+    q_eff = q_ratio / (hi / lo)
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -228,6 +254,8 @@ def main() -> None:
         },
         "speedup": round(ratio, 3),
         "query_speedup": round(q_ratio, 3),
+        "query_efficiency": round(q_eff, 3),
+        "n_queries": results[lo].get("n_queries"),
     }
     print(json.dumps(summary))
 
@@ -235,6 +263,7 @@ def main() -> None:
     bw_hi = results[hi].get("membw_control_gbps") or 0.0
     bw_ratio = bw_hi / bw_lo if bw_lo else float("nan")
     pct_of_ceiling = 100.0 * ratio / bw_ratio if bw_lo else float("nan")
+    q_pct_of_ceiling = 100.0 * q_ratio / bw_ratio if bw_lo else float("nan")
     os.makedirs("BENCH", exist_ok=True)
     # full distribution survives regeneration: one JSON line per run
     with open("BENCH/runs.jsonl", "a") as fh:
@@ -252,14 +281,15 @@ WAND-query job at local[{lo}] vs local[{hi}] on identical input
 ({results[lo]['n_docs']} synthetic pages, Zipf vocabulary with the
 30%-df head term — see meme_search_engine_spark/datagen.py).
 
-| parallelism | build sec | build docs/sec | query-batch sec |
-|---|---|---|---|
-| local[{lo}] | {results[lo]['build_sec']} | {results[lo]['docs_per_sec']} | {results[lo]['query_sec']} |
-| local[{hi}] | {results[hi]['build_sec']} | {results[hi]['docs_per_sec']} | {results[hi]['query_sec']} |
+| parallelism | build sec | build docs/sec | query-batch sec | queries/sec |
+|---|---|---|---|---|
+| local[{lo}] | {results[lo]['build_sec']} | {results[lo]['docs_per_sec']} | {results[lo]['query_sec']} | {results[lo].get('queries_per_sec', '-')} |
+| local[{hi}] | {results[hi]['build_sec']} | {results[hi]['docs_per_sec']} | {results[hi]['query_sec']} | {results[hi].get('queries_per_sec', '-')} |
 
 - build throughput speedup {lo}->{hi} cores: **{ratio:.2f}x**
 - scaling efficiency (speedup / {hi // lo}): **{eff:.3f}**
-- query-batch speedup: {q_ratio:.2f}x
+- query-batch (WAND, {results[lo].get('n_queries', '?')} queries)
+  speedup: **{q_ratio:.2f}x**; query scaling efficiency: **{q_eff:.3f}**
 
 Per-phase wall seconds (best run per level); cpu control = per-process
 Mops of N concurrent pure-Python integer loops measured in the SAME
@@ -334,6 +364,10 @@ speedup tracks the bandwidth curve, not the ALU curve: the headline
 {ratio:.2f}x build speedup is **{pct_of_ceiling:.0f}% of the
 {bw_ratio:.2f}x the memory subsystem physically delivers at {hi}
 streams** — the single-box measurement is a measurement of the box.
+The WAND query batch's {q_ratio:.2f}x speedup is
+**{q_pct_of_ceiling:.0f}% of the same ceiling** (the batch decodes
+posting blocks and folds top-k per (query, doc-range) group — also a
+bytes-through-memory workload).
 On a real N-vs-4N EXECUTOR comparison — the scenario the north
 rule actually describes — every executor node contributes its own
 memory controllers and NIC, so the resource that is fixed here scales

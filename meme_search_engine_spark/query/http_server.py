@@ -57,27 +57,51 @@ class PresetStore:
         # interleave on the same temp file and rename a torn JSON into
         # place (ADVICE r02)
         self._lock = threading.Lock()
-        if os.path.exists(self._path):
+        self._mtime_ns = -1
+        self._reload_locked()
+
+    def _reload_locked(self) -> None:
+        """Refresh from disk when the file changed.  presets.json is
+        the shared state between pre-fork workers (mp_server): a save
+        through one worker process must be visible to queries routed
+        to any OTHER worker, so every read path re-checks the file's
+        mtime (one stat) before answering."""
+        try:
+            st = os.stat(self._path)
+        except OSError:
+            return
+        if st.st_mtime_ns != self._mtime_ns:
             with open(self._path) as fh:
                 self._presets = json.load(fh)
+            self._mtime_ns = st.st_mtime_ns
 
     def names(self) -> list[str]:
         with self._lock:
+            self._reload_locked()
             return sorted(self._presets)
 
     def get(self, name: str) -> list[tuple[str, float]] | None:
         with self._lock:
+            self._reload_locked()
             if name not in self._presets:  # empty list != missing
                 return None
             return [(str(t), float(w)) for t, w in self._presets[name]]
 
     def save(self, name: str, terms: list[tuple[str, float]]) -> None:
         with self._lock:
+            # merge-on-save: another PROCESS may have added presets
+            # since our last load; last-writer-wins per name, never
+            # drop a sibling's whole entry
+            self._reload_locked()
             self._presets[name] = [[t, w] for t, w in terms]
-            tmp = f"{self._path}.{threading.get_ident()}.tmp"
+            tmp = f"{self._path}.{os.getpid()}.{threading.get_ident()}.tmp"
             with open(tmp, "w") as fh:
                 json.dump(self._presets, fh, indent=1)
             os.replace(tmp, self._path)  # atomic swap, like the manifest
+            try:
+                self._mtime_ns = os.stat(self._path).st_mtime_ns
+            except OSError:
+                pass
 
 
 class Metrics:

@@ -304,3 +304,34 @@ def test_fork_server_parity_and_worker_spread(server):
             assert b == want[i % len(queries)][1]
     finally:
         fork.stop()
+
+
+def test_fork_server_preset_coherence_across_workers(server):
+    """A preset saved through ONE forked worker must be queryable
+    through ANY worker: PresetStore re-checks presets.json's mtime per
+    read, so the file is the shared state between processes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from meme_search_engine_spark.query.mp_server import ForkServer
+
+    srv, _ = server
+    fork = ForkServer(_index_dir_of(srv), workers=3).start()
+    try:
+        code, _body = _post(
+            fork.port,
+            {"save_preset": "xworker", "text": [["term0001", 1.5]]},
+        )
+        assert code == 200
+
+        def by_preset(_):
+            return _post(fork.port, {"preset": "xworker", "top_k": 3})
+
+        # enough concurrent hits to reach every worker with high
+        # probability; ALL must resolve the preset (no 404s)
+        with ThreadPoolExecutor(12) as ex:
+            results = list(ex.map(by_preset, range(36)))
+        assert all(c == 200 for c, _ in results), [c for c, _ in results]
+        want = _post(srv.port, {"preset": "xworker", "top_k": 3})
+        assert all(r == want for r in results)
+    finally:
+        fork.stop()

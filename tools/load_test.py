@@ -33,6 +33,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
 )
+REPO_DIR = os.path.dirname(DATA_DIR)
+
+
+def _cpu_control(n: int = 20_000_000) -> float:
+    """Single-process Mops of a pure-Python integer loop — the same
+    window-health control bench_scaling embeds: load numbers from
+    different hypervisor windows are not comparable, so every JSON
+    line carries the window's own reading (VERDICT r05 #7)."""
+    t0 = time.time()
+    s = 0
+    for i in range(n):
+        s += i * i
+    return round(n / (time.time() - t0) / 1e6, 2)
 
 
 def _ensure_hybrid_fixtures(n_docs: int) -> tuple[str, str]:
@@ -176,6 +189,18 @@ def main() -> None:
             args.index, embeddings_path=emb_dir, ivf_dir=ivf_dir
         ).start()
     warm_rounds = max(1, 4 * args.workers)
+
+    def emit(payload: dict) -> None:
+        payload = {**payload, "cpu_control_mops": _cpu_control()}
+        print(json.dumps(payload))
+        try:  # full distribution survives sessions, like bench_scaling
+            with open(
+                os.path.join(REPO_DIR, "BENCH", "runs.jsonl"), "a"
+            ) as fh:
+                fh.write(json.dumps(payload) + "\n")
+        except OSError:
+            pass
+
     try:
         common = {
             "n": args.n, "concurrency": args.concurrency, "k": args.k,
@@ -188,7 +213,7 @@ def main() -> None:
                 args.concurrency,
                 warm_rounds,
             )
-            print(json.dumps({"metric": "http_load_text", **r, **common}))
+            emit({"metric": "http_load_text", **r, **common})
         if args.mode in ("hybrid", "both"):
             r = run_mode(
                 srv,
@@ -199,7 +224,7 @@ def main() -> None:
                 args.concurrency,
                 warm_rounds,
             )
-            print(json.dumps({"metric": "http_load_hybrid", **r, **common}))
+            emit({"metric": "http_load_hybrid", **r, **common})
             r = run_mode(
                 srv,
                 [
@@ -212,11 +237,7 @@ def main() -> None:
                 args.concurrency,
                 warm_rounds,
             )
-            print(
-                json.dumps(
-                    {"metric": "http_load_hybrid_dedup", **r, **common}
-                )
-            )
+            emit({"metric": "http_load_hybrid_dedup", **r, **common})
     finally:
         srv.stop()
 
