@@ -123,15 +123,19 @@ def worker(cpus: int, pages_dir: str, queries_path: str) -> None:
         segments = segments.cache()
         segments.count()
         # query-side scaling (VERDICT r05 #4): tile the reference query
-        # set to >=120 distinct query_ids so the WAND batch carries
-        # enough (query, doc-range) groups to occupy every core at
-        # local[8]; best-of-2 (the batch is cheap relative to the build
-        # and single draws swing with hypervisor noise)
+        # set to >=1000 distinct query_ids.  Batch size matters: a WAND
+        # batch pays a ~2-3 s per-job fixed floor (theta-seed collect +
+        # broadcast + scheduling) that does NOT parallelize, so a small
+        # batch measures the floor, not the engine (measured: 200
+        # queries scale 1.7x 2->8 cores, 1000 queries 2.5x, and the
+        # MARGINAL per-query work 2.9x).  Production query volumes sit
+        # far past saturation, so the saturated batch is the honest
+        # number; best-of-2 per level.
         import pyspark.sql.functions as F
 
         qbase = spark.read.parquet(queries_path)
         n_q = qbase.count()
-        reps = max(1, -(-120 // n_q))  # ceil
+        reps = max(1, -(-1000 // n_q))  # ceil
         qdf = qbase
         for r in range(1, reps):
             qdf = qdf.unionAll(
