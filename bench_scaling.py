@@ -248,6 +248,7 @@ def main() -> None:
                 "build_docs_per_sec": results[c]["docs_per_sec"],
                 "build_sec": results[c]["build_sec"],
                 "query_sec": results[c]["query_sec"],
+                "queries_per_sec": results[c].get("queries_per_sec"),
                 "phases": results[c].get("phases", {}),
                 "cpu_control_mops_per_proc": results[c].get(
                     "cpu_control_mops_per_proc"

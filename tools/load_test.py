@@ -72,8 +72,41 @@ def _ensure_hybrid_fixtures(n_docs: int) -> tuple[str, str]:
     return emb_dir, ivf_dir
 
 
+def _client_worker(args) -> list[float]:
+    """One load-client PROCESS's share of the request stream (module-
+    level for multiprocessing pickling).  At ~1000+ QPS a single
+    Python client process is itself GIL-bound and under-reports a
+    multi-worker server's capacity — the measured ceiling must not be
+    the measuring instrument's."""
+    port, bodies, concurrency = args
+
+    def one(body: dict) -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        t0 = time.time()
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                resp.read()
+                if resp.status != 200:
+                    return -1.0
+        except Exception:
+            return -1.0
+        return time.time() - t0
+
+    with ThreadPoolExecutor(concurrency) as ex:
+        return list(ex.map(one, bodies))
+
+
 def run_mode(
-    srv, bodies: list[dict], concurrency: int, warm_rounds: int = 1
+    srv,
+    bodies: list[dict],
+    concurrency: int,
+    warm_rounds: int = 1,
+    client_procs: int = 1,
 ) -> dict:
     lat: list[float] = []
 
@@ -118,8 +151,24 @@ def run_mode(
     with ThreadPoolExecutor(max(2, min(32, warm_rounds * 2))) as ex:
         list(ex.map(one, distinct * warm_rounds))  # raises on failure
     t0 = time.time()
-    with ThreadPoolExecutor(concurrency) as ex:
-        results = list(ex.map(one_counted, bodies))
+    if client_procs > 1:
+        import multiprocessing as mp
+
+        chunks = [
+            (
+                srv.port,
+                bodies[i::client_procs],
+                max(1, concurrency // client_procs),
+            )
+            for i in range(client_procs)
+        ]
+        with mp.get_context("fork").Pool(client_procs) as pool:
+            results = [
+                dt for sub in pool.map(_client_worker, chunks) for dt in sub
+            ]
+    else:
+        with ThreadPoolExecutor(concurrency) as ex:
+            results = list(ex.map(one_counted, bodies))
     wall = time.time() - t0
     lat = [dt for dt in results if dt >= 0]
     errors = len(results) - len(lat)
@@ -145,6 +194,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--mode", choices=["text", "hybrid", "both"], default="both"
+    )
+    ap.add_argument(
+        "--client-procs", type=int, default=1,
+        help="load-client processes; >1 removes the client's own GIL "
+        "ceiling when measuring a multi-worker server",
     )
     ap.add_argument(
         "--workers", type=int, default=0,
@@ -205,6 +259,7 @@ def main() -> None:
         common = {
             "n": args.n, "concurrency": args.concurrency, "k": args.k,
             "n_docs": n_docs, "workers": args.workers,
+            "client_procs": args.client_procs,
         }
         if args.mode in ("text", "both"):
             r = run_mode(
@@ -212,6 +267,7 @@ def main() -> None:
                 [{"query": t, "top_k": args.k} for t in texts],
                 args.concurrency,
                 warm_rounds,
+                args.client_procs,
             )
             emit({"metric": "http_load_text", **r, **common})
         if args.mode in ("hybrid", "both"):
@@ -223,6 +279,7 @@ def main() -> None:
                 ],
                 args.concurrency,
                 warm_rounds,
+                args.client_procs,
             )
             emit({"metric": "http_load_hybrid", **r, **common})
             r = run_mode(
@@ -236,6 +293,7 @@ def main() -> None:
                 ],
                 args.concurrency,
                 warm_rounds,
+                args.client_procs,
             )
             emit({"metric": "http_load_hybrid_dedup", **r, **common})
     finally:
