@@ -325,6 +325,59 @@ def _seed_thetas(
     return thetas
 
 
+def _seed_thetas_local(
+    seed_rows,
+    qt_pd,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> dict[int, int]:
+    """θ seed with per-TERM decode caching: block 0 of a term decodes
+    ONCE no matter how many queries share the term.  Hot queries and
+    tiled batches repeat terms heavily, and the seed runs DRIVER-SIDE
+    — the old per-(query, term) loop made it a serial cost that grew
+    with batch size (the non-parallel fraction of a query batch).
+    Queries with identical (term set, k) also share one kth-partial
+    computation.  Thetas are IDENTICAL to _seed_thetas: the per-query
+    accumulation is an order-independent int64 unique+sum over the
+    union of the same block-0 postings."""
+    from collections import defaultdict
+
+    per_term: dict[int, list] = defaultdict(list)
+    for r in seed_rows:
+        d, tfs, dls = _decode_block(r["doc_ids"], r["tfs"], r["dls"])
+        idf = bm25_idf_py(int(r["df"]), n_docs)
+        per_term[int(r["term_hash"])].append(
+            (d, _contribs_fixed(idf, tfs, dls, k1, b, avgdl))
+        )
+    terms_by_q: dict[int, list] = defaultdict(list)
+    k_by_q: dict[int, int] = {}
+    for qid, k, th in zip(
+        qt_pd["query_id"], qt_pd["k"], qt_pd["term_hash"]
+    ):
+        k_by_q[int(qid)] = int(k)
+        if int(th) in per_term:
+            terms_by_q[int(qid)].append(int(th))
+    thetas: dict[int, int] = {}
+    shared: dict[tuple, int] = {}
+    for qid, ths in terms_by_q.items():
+        key = (tuple(sorted(ths)), k_by_q[qid])
+        if key in shared:
+            thetas[qid] = shared[key]
+            continue
+        parts = [p for t in ths for p in per_term[t]]
+        ids = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, cs)
+        k = k_by_q[qid]
+        th = int(np.partition(sums, -k)[-k]) if len(sums) >= k else 0
+        shared[key] = thetas[qid] = th
+    return thetas
+
+
 # below this corpus size the θ-seed read costs more than the shuffle it
 # saves — the in-kernel pruning alone is plenty (planner heuristic)
 PRE_PRUNE_MIN_DOCS = 200_000
@@ -371,7 +424,9 @@ def plan_candidate_blocks(
     # once and rebuild as a local DataFrame; a giant batch (>200k query
     # terms) falls back to the distributed path.
     qt_pd = qt.limit(_QT_LOCAL_MAX + 1).toPandas()
+    qt_local_pd = None
     if len(qt_pd) <= _QT_LOCAL_MAX:
+        qt_local_pd = qt_pd
         qt = spark.createDataFrame(qt_pd, schema=qt.schema)
         q_hashes = [int(h) for h in qt_pd["term_hash"].unique()]
     else:
@@ -405,7 +460,21 @@ def plan_candidate_blocks(
 
     thetas = {}
     if pre_prune:
-        thetas = _seed_thetas(spark, blocks, n_docs, avgdl, k1, b)
+        if qt_local_pd is not None:
+            # collect ONE row per (term, epoch-block-0) straight off
+            # the pruned segments (no qt join first — the old collect
+            # duplicated each term's block per query sharing it), then
+            # seed every query from per-term cached decodes
+            seed_rows = (
+                pruned.filter(F.col("block_id") == 0)
+                .select("term_hash", "df", "doc_ids", "tfs", "dls")
+                .collect()
+            )
+            thetas = _seed_thetas_local(
+                seed_rows, qt_local_pd, n_docs, avgdl, k1, b
+            )
+        else:
+            thetas = _seed_thetas(spark, blocks, n_docs, avgdl, k1, b)
         if any(thetas.values()):
             # per-(query, term) global max ub — metadata-only agg
             # (Catalyst prunes the binary payload columns out of it)

@@ -197,13 +197,21 @@ def test_wand_identical_on_appended_index(spark, dirs):
         "query_id int, text string, k int",
     )
 
-    def run(d):
+    def run(d, **kw):
         segments, term_stats, manifest = load_index(spark, d)
         return sorted(
-            map(tuple, wand_topk(spark, segments, term_stats, manifest, qdf).collect())
+            map(
+                tuple,
+                wand_topk(
+                    spark, segments, term_stats, manifest, qdf, **kw
+                ).collect(),
+            )
         )
 
     assert run(incr) == run(cold)
+    # the theta-seeded pre-prune path must agree too (forces the
+    # local per-term seed over the multi-epoch df-fixup segments)
+    assert run(incr, pre_prune=True) == run(cold)
 
 
 def test_append_ledger_has_epochs(spark, dirs):

@@ -138,3 +138,71 @@ def test_wand_k_larger_than_matches(spark, built):
     )
     rows = wand_topk(spark, segments, term_stats, manifest, qdf).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 42
+
+
+def test_seed_thetas_local_equals_per_query_seed(spark, tmp_path):
+    """_seed_thetas_local (per-TERM cached decode, driver-side) must
+    produce IDENTICAL thetas to the original per-(query, term)
+    _seed_thetas over the same blocks — including shared terms across
+    queries and duplicated (term set, k) queries (the hot-query /
+    tiled-batch shapes the cache exists for)."""
+    import pandas as pd
+
+    from meme_search_engine_spark.query.dataframe_engine import query_terms
+    from meme_search_engine_spark.query.wand import (
+        _block_ub_col,
+        _seed_thetas,
+        _seed_thetas_local,
+    )
+
+    rows = [
+        (
+            i,
+            "headterm " * (1 + i % 3)
+            + f"u{i} v{i % 17} w{i % 5} filler{i % 101} ",
+        )
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+    out = str(tmp_path / "seed_idx")
+    cfg = IndexConfig(salt_shift=7, n_buckets=8, n_parts=2, block_size=32)
+    build_index(spark, docs, out, cfg)
+    segments, _ts, manifest = load_index(spark, out)
+    st = manifest["stats"]
+    k1, b = manifest["config"]["k1"], manifest["config"]["b"]
+
+    qrows = [
+        (0, "headterm filler3", 10),
+        (1, "headterm v3 w2", 5),
+        (2, "headterm filler3", 10),  # duplicate (terms, k) of q0
+        (3, "v3", 3),
+        (4, "zzzabsent", 10),  # no postings at all
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, text string, k int")
+    qt = query_terms(qdf, 10)
+    qt_pd = qt.toPandas()
+    q_hashes = [int(h) for h in qt_pd["term_hash"].unique()]
+    pruned = segments.filter(F.col("term_hash").isin(q_hashes))
+    blocks = pruned.join(
+        F.broadcast(spark.createDataFrame(qt_pd, schema=qt.schema)),
+        "term_hash",
+    ).select(
+        "query_id", "k", "term_hash", "df", "block_id", "n_docs",
+        "min_doc_id", "max_doc_id", "doc_ids", "tfs", "dls",
+        "block_max_tfnorm", "max_tf", "min_dl",
+    ).withColumn("ub", _block_ub_col(st["N"], st["avgdl"], k1, b))
+
+    old = _seed_thetas(spark, blocks, st["N"], st["avgdl"], k1, b)
+    seed_rows = (
+        pruned.filter(F.col("block_id") == 0)
+        .select("term_hash", "df", "doc_ids", "tfs", "dls")
+        .collect()
+    )
+    new = _seed_thetas_local(
+        seed_rows, qt_pd, st["N"], st["avgdl"], k1, b
+    )
+    assert new == old
+    assert new[0] == new[2]  # shared (terms, k) -> shared theta
+    assert 4 not in new  # absent-terms query stays unseeded (-> 0)
