@@ -39,9 +39,23 @@ def main() -> None:
     from meme_search_engine_spark.index.postings import IndexConfig
     from meme_search_engine_spark.query.wand import wand_topk
 
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    # same-window hypervisor controls (VERDICT r06 #2): this VM's
+    # windows drift ±50%, so a per-round driver bench without an
+    # embedded control reading is a single uncontrolled draw — every
+    # cross-round comparison starts an argument.  The SAME probes the
+    # scaling protocol embeds (bench_scaling._cpu_control /
+    # _membw_control at the protocol's 8-stream level) run at bench
+    # start AND end; a metric that moved with a moved control indicts
+    # the window, an unchanged control indicts the code.
+    from bench_scaling import _cpu_control, _membw_control
+
+    extras["cpu_control_mops"] = _cpu_control(8)
+    extras["membw_control_gbps"] = _membw_control(8)
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
 
     def timed(name: str, fn, repeats: int = 1):
         # repeats>1 (query-side timings only): best-of, because single
@@ -386,6 +400,12 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
+
+    # end-of-run controls: the bench runs for minutes and windows
+    # drift minute-to-minute — a large start/end delta flags the run
+    # itself as straddling a window change
+    extras["cpu_control_mops_end"] = _cpu_control(8)
+    extras["membw_control_gbps_end"] = _membw_control(8)
 
     print(
         json.dumps(

@@ -423,10 +423,14 @@ def index_epochs(out_dir: str) -> list[int]:
 
 
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
-    """Explicit maintenance op: merge ALL epochs back into a single
-    epoch 0 (full rewrite — the cost appends no longer pay).  Restores
+    """Maintenance op: merge ALL epochs back into a single epoch 0
+    (full rewrite — the cost appends no longer pay).  Restores
     globally-dense block_id / exact stored df; queries are identical
-    before and after (pytest).  Swap is rename-atomic per dir."""
+    before and after (pytest).  Swap is rename-atomic per dir.  Runs
+    either explicitly or via append_to_index(auto_compact_epochs=E) —
+    the reference's rebuild->atomic-swap loop (main.rs:1005-1035)
+    folds this rewrite into every cycle; here appends are delta-cost
+    and the rewrite is amortized by policy instead."""
     import shutil
 
     with open(os.path.join(out_dir, "manifest.json")) as fh:
@@ -457,7 +461,15 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         os.rename(tmp, final)
         shutil.rmtree(old)
     # partials stay as-is: the union of ALL partial epochs remains the
-    # durable source for any future compaction (ledger keys unchanged)
+    # durable source for any future compaction (ledger keys unchanged).
+    # Record the rewrite in the ledger: status='compacted' never
+    # matches completed_parts (filters status=='done'), part_id=-1
+    # never collides with a real part, and epoch=max merged epoch
+    # leaves the next append's max+1 allocation unchanged.
+    spark.createDataFrame(
+        [(int(epochs[-1]), -1, "__compaction__", 0, 0, 0, 0, "compacted")],
+        LEDGER_SCHEMA,
+    ).write.mode("append").parquet(_ledger_path(out_dir))
     return manifest
 
 
@@ -467,6 +479,7 @@ def append_to_index(
     out_dir: str,
     cache_docs: bool | None = None,
     fail_before_finalize: bool = False,
+    auto_compact_epochs: int | None = None,
 ) -> dict:
     """Incremental index append — the reference's online reindex loop
     (ingest -> rebuild -> atomic swap, /root/reference/src/main.rs:
@@ -483,7 +496,14 @@ def append_to_index(
       block), so older epochs' pruning metadata stays valid under the
       shifted avgdl;
     - the new epoch gets its own partials dir + ledger rows: appends
-      are themselves resumable and never touch previous epochs' files.
+      are themselves resumable and never touch previous epochs' files;
+    - auto_compact_epochs=E bounds the multi-epoch WAND df-fixup
+      penalty (+18-27% measured, BENCH/BASELINE.md §multi-epoch) in a
+      long-running deployment: once the committed index exceeds E
+      segment epochs, compact_index() folds them back to one.  The
+      compaction runs AFTER the manifest commit, so a crash mid-rewrite
+      leaves a fully consistent multi-epoch index and the next append
+      retries the fold.
     """
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
@@ -576,7 +596,13 @@ def append_to_index(
     _finalize_epoch(spark, out_dir, cfg, epoch)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh)
-    return _write_manifest(out_dir, cfg, stats, old.get("input_snapshot"))
+    manifest = _write_manifest(out_dir, cfg, stats, old.get("input_snapshot"))
+    if (
+        auto_compact_epochs is not None
+        and len(index_epochs(out_dir)) > auto_compact_epochs
+    ):
+        manifest = compact_index(spark, out_dir)
+    return manifest
 
 
 def load_index(spark: SparkSession, out_dir: str):

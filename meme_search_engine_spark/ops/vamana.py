@@ -229,10 +229,14 @@ def _robust_prune(
     candidate closer to a kept one than (its distance to the point)
     divided by alpha; repeat until R neighbors are kept.
 
-    Duplicate candidate ids need no explicit dedup: a kept candidate
-    occludes its own copies (their pairwise gram distance is 0 and
-    d_p is clipped >= 0, so alpha*0 <= d_p always) — dropping the
-    np.unique sort halves the per-call cost on the build's hot path."""
+    Duplicate candidate ids need no np.unique sort (dropping it
+    halves the per-call cost on the build's hot path): a kept
+    candidate kills its own copies via the explicit same-id mask
+    below.  Occlusion alone is NOT enough — BLAS rounds 1 - v.v to
+    +eps in the gemm while the gemv-computed d_p for the same pair
+    may clip to 0, and alpha*eps <= 0 fails (ADVICE r06) — so
+    same-id survival is enforced exactly, not through float
+    arithmetic."""
     cand = cand[cand != point]
     if not len(cand):
         return cand
@@ -242,8 +246,12 @@ def _robust_prune(
     m = len(cand)
     # one gram matrix per call replaces a vm-gather + dot per kept
     # candidate (the per-iteration tiny-op overhead was ~35% of build
-    # time); pairwise distances are then O(1) row reads below
-    gram_d = 1.0 - vm[cand] @ vm[cand].T
+    # time); pairwise distances are then O(1) row reads below.
+    # Clip at 0 like d_p: BLAS rounds 1 - v.v to +eps while d_p for the
+    # same pair may clip smaller, and alpha*eps <= d_p can then fail —
+    # without the clip a duplicate id survives its own occlusion and
+    # the no-np.unique optimization above goes unsound.
+    gram_d = np.maximum(1.0 - vm[cand] @ vm[cand].T, 0.0)
     kept: list[int] = []
     alive = np.ones(m, dtype=bool)
     i = 0
@@ -256,6 +264,9 @@ def _robust_prune(
         alive[i] = False
         # alpha > 1 keeps longer-range edges (the navigability knob)
         alive &= ~(alpha * gram_d[i] <= d_p)
+        # exact same-id kill: immune to the gemm/gemv rounding
+        # asymmetry that lets a duplicate id slip past occlusion
+        alive &= cand != cand[i]
         alive[: i + 1] = False
     return np.asarray(kept, dtype=np.int64)
 

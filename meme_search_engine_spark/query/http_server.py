@@ -89,19 +89,31 @@ class PresetStore:
 
     def save(self, name: str, terms: list[tuple[str, float]]) -> None:
         with self._lock:
-            # merge-on-save: another PROCESS may have added presets
-            # since our last load; last-writer-wins per name, never
-            # drop a sibling's whole entry
-            self._reload_locked()
-            self._presets[name] = [[t, w] for t, w in terms]
-            tmp = f"{self._path}.{os.getpid()}.{threading.get_ident()}.tmp"
-            with open(tmp, "w") as fh:
-                json.dump(self._presets, fh, indent=1)
-            os.replace(tmp, self._path)  # atomic swap, like the manifest
-            try:
-                self._mtime_ns = os.stat(self._path).st_mtime_ns
-            except OSError:
-                pass
+            # merge-on-save under an INTER-process lock: threading.Lock
+            # only serializes threads of this worker, but presets.json
+            # is shared across pre-fork workers (mp_server) — two
+            # workers saving different names concurrently could both
+            # reload, then the second os.replace would drop the first
+            # worker's new entry.  flock a sidecar (not the data file:
+            # os.replace swaps the inode the lock lives on) for the
+            # whole reload+write+swap, so last-writer-wins is per NAME,
+            # never a sibling's whole entry.
+            import fcntl
+
+            with open(f"{self._path}.lock", "w") as lockfh:
+                fcntl.flock(lockfh, fcntl.LOCK_EX)
+                self._reload_locked()
+                self._presets[name] = [[t, w] for t, w in terms]
+                tmp = (
+                    f"{self._path}.{os.getpid()}.{threading.get_ident()}.tmp"
+                )
+                with open(tmp, "w") as fh:
+                    json.dump(self._presets, fh, indent=1)
+                os.replace(tmp, self._path)  # atomic swap, like the manifest
+                try:
+                    self._mtime_ns = os.stat(self._path).st_mtime_ns
+                except OSError:
+                    pass
 
 
 class Metrics:
@@ -229,6 +241,18 @@ def make_handler(
                     # results (the reference's DEDUPLICATE_THRESHOLD
                     # 0.95 gram-matrix drop, query_disk_index.rs:99)
                     dt = req.get("dedup_threshold")
+                    # pool-sizing knobs per request (the reference's
+                    # QueryRequest carries per-query config,
+                    # common.rs:201-209) — clamped: the body is
+                    # untrusted, so 0 / negative / giant values never
+                    # reach ivf.candidates (a huge pool is an exact
+                    # rerank over the whole table)
+                    n_cand = max(
+                        k, min(int(req.get("n_candidates", 50)), 10_000)
+                    )
+                    n_probe = max(
+                        1, min(int(req.get("n_probe", 8)), 256)
+                    )
                     matches = searcher.search_hybrid(
                         str(req.get("query", "")),
                         qvec,
@@ -238,7 +262,8 @@ def make_handler(
                         w_vec=int(w_vec),
                         with_urls=True,
                         ivf_dir=ivf_dir,
-                        n_candidates=int(req.get("n_candidates", 50)),
+                        n_candidates=n_cand,
+                        n_probe=n_probe,
                         dedup_threshold=(
                             float(dt) if dt is not None else None
                         ),

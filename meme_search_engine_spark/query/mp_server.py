@@ -25,10 +25,12 @@ byte-budgeted, so worst-case resident memory is workers × budget.
 
 from __future__ import annotations
 
+import json
 import multiprocessing as mp
 import os
 import signal
 import socket
+import threading
 import time
 import urllib.request
 from http.server import ThreadingHTTPServer
@@ -76,9 +78,12 @@ class ForkServer:
     """N-process pre-fork server over one shared listening socket.
 
     Same constructor surface as SearchServer plus `workers`; start()
-    blocks until every worker answers /health, so callers can fire
-    load immediately.  stop() SIGTERMs the workers and closes the
-    socket."""
+    polls /health until every worker's pid has answered (bounded by
+    `timeout`), fails fast if a worker dies while starting, and —
+    with supervise=True — re-forks any worker that dies later (the
+    reference keeps its per-thread runtimes alive for the process
+    lifetime; here the process is the unit, so supervision is the
+    analogue).  stop() SIGTERMs the workers and closes the socket."""
 
     def __init__(
         self,
@@ -88,6 +93,7 @@ class ForkServer:
         port: int = 0,
         embeddings_path: str | None = None,
         ivf_dir: str | None = None,
+        supervise: bool = False,
     ):
         self.workers = workers or min(8, os.cpu_count() or 1)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -96,41 +102,107 @@ class ForkServer:
         self._sock.listen(128)  # match _Server.request_queue_size
         self.host = host
         self.port = self._sock.getsockname()[1]
+        self.supervise = supervise
+        self.refork_count = 0
         # fork (not spawn): the workers inherit the listening fd
         # directly and skip a full reimport; the child touches only
         # stdlib + pyarrow + numpy after the fork
-        ctx = mp.get_context("fork")
-        self._procs = [
-            ctx.Process(
-                target=_worker_main,
-                args=(self._sock, index_dir, embeddings_path, ivf_dir),
-                daemon=True,
+        self._ctx = mp.get_context("fork")
+        self._worker_args = (self._sock, index_dir, embeddings_path, ivf_dir)
+        self._procs = [self._fork_one() for _ in range(self.workers)]
+        self._supervisor: threading.Thread | None = None
+        self._stopping = threading.Event()
+
+    def _fork_one(self):
+        return self._ctx.Process(
+            target=_worker_main, args=self._worker_args, daemon=True
+        )
+
+    def _health_pid(self) -> int | None:
+        try:
+            with urllib.request.urlopen(
+                f"http://{self.host}:{self.port}/health", timeout=5
+            ) as resp:
+                if resp.status == 200:
+                    return json.loads(resp.read())["pid"]
+        except OSError:
+            pass
+        return None
+
+    def _check_startup_deaths(self) -> None:
+        dead = [p for p in self._procs if p.exitcode is not None]
+        if dead:
+            raise RuntimeError(
+                f"{len(dead)}/{self.workers} worker(s) died during "
+                f"startup (exitcodes "
+                f"{[p.exitcode for p in dead]}) — see worker stderr"
             )
-            for _ in range(self.workers)
-        ]
 
     def start(self, timeout: float = 60.0) -> "ForkServer":
+        from concurrent.futures import ThreadPoolExecutor
+
         for p in self._procs:
             p.start()
         deadline = time.time() + timeout
-        # one /health round-trip per worker: connections land on
-        # DISTINCT workers only probabilistically, but any single
-        # success proves the socket is live; ready = first 200.
-        while True:
-            try:
-                with urllib.request.urlopen(
-                    f"http://{self.host}:{self.port}/health", timeout=5
-                ) as resp:
-                    if resp.status == 200:
-                        return self
-            except OSError:
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"no worker became healthy within {timeout}s"
-                    )
+        # readiness = every worker pid has answered /health at least
+        # once (bounded by `timeout`).  A worker that died post-fork
+        # (bad index path, OOM) never answers — check exitcodes each
+        # lap and fail FAST instead of timing out.
+        seen: set[int] = set()
+        while not seen:  # phase 1: socket live at all?
+            self._check_startup_deaths()
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"no worker became healthy within {timeout}s"
+                )
+            pid = self._health_pid()
+            if pid is not None:
+                seen.add(pid)
+            else:
                 time.sleep(0.05)
+        # phase 2: cover every worker.  The kernel's accept wake-up is
+        # ~LIFO, so a SERIAL probe stream revisits the same idle
+        # worker forever; concurrent bursts force distribution (a
+        # worker busy on one probe lets a sibling accept the next).
+        with ThreadPoolExecutor(min(2 * self.workers, 16)) as ex:
+            while len(seen) < self.workers and time.time() < deadline:
+                self._check_startup_deaths()
+                for pid in ex.map(
+                    lambda _: self._health_pid(), range(4 * self.workers)
+                ):
+                    if pid is not None:
+                        seen.add(pid)
+        # len(seen) < workers at deadline with all alive = accept
+        # starvation under a loaded box, not failure: socket is live
+        # and every worker process is running — proceed.
+        if self.supervise:
+            self._supervisor = threading.Thread(
+                target=self._supervise_loop, daemon=True
+            )
+            self._supervisor.start()
+        return self
+
+    def _supervise_loop(self, poll: float = 0.2) -> None:
+        """Re-fork any worker that exits while serving.  The shared
+        listening socket stays open in the parent, so a replacement
+        worker joins the accept queue with zero connection loss for
+        requests not in flight on the dead worker."""
+        while not self._stopping.wait(poll):
+            for i, p in enumerate(self._procs):
+                if p.exitcode is not None and not self._stopping.is_set():
+                    p.join()  # reap
+                    fresh = self._fork_one()
+                    fresh.start()
+                    self._procs[i] = fresh
+                    self.refork_count += 1
+
+    def alive_workers(self) -> int:
+        return sum(p.is_alive() for p in self._procs)
 
     def stop(self) -> None:
+        self._stopping.set()
+        if self._supervisor is not None:
+            self._supervisor.join(timeout=5)
         for p in self._procs:
             if p.is_alive():
                 p.terminate()

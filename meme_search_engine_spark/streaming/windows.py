@@ -283,6 +283,7 @@ def streaming_index_pipeline(
     checkpoint_dir: str,
     min_tokens: int = 0,
     lang: str | None = None,
+    auto_compact_epochs: int | None = None,
 ):
     """Continuous-ingest version of jobs/pipeline_job: per micro-batch
     quality/language gates, exact dedup WITHIN the batch and against
@@ -294,7 +295,10 @@ def streaming_index_pipeline(
 
     Contract inherited from append_to_index: doc_ids rise
     monotonically across batches (warc_ts-ordered crawls).
-    Returns the StreamingQuery."""
+    auto_compact_epochs bounds the epoch count (and so the multi-epoch
+    WAND df-fixup penalty) over an unbounded stream — every append
+    passes the policy through, so the index never exceeds E epochs
+    between batches.  Returns the StreamingQuery."""
     import os
 
     import pyspark.sql.functions as F
@@ -352,7 +356,10 @@ def streaming_index_pipeline(
                 keep.select("doc_id"), "doc_id", "semi"
             )
             if os.path.exists(os.path.join(idx_dir, "manifest.json")):
-                append_to_index(spark, pages_kept, idx_dir)
+                append_to_index(
+                    spark, pages_kept, idx_dir,
+                    auto_compact_epochs=auto_compact_epochs,
+                )
             else:
                 build_index(spark, pages_kept, idx_dir)
             # commit fingerprints AFTER the index commit marker: a

@@ -185,6 +185,65 @@ def test_compaction_preserves_results(spark, dirs, tmp_path):
     assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])
 
 
+def test_auto_compaction_policy(spark, dirs, tmp_path):
+    """append_to_index(auto_compact_epochs=E): once the committed
+    index exceeds E segment epochs the append folds them back to one
+    (VERDICT r06 #3 — bounds the measured +18-27% multi-epoch WAND
+    penalty in a streaming deployment).  The policy must actually
+    fire, serving must stay identical, and the ledger must record the
+    rewrite."""
+    from meme_search_engine_spark.index.builder import index_epochs
+
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "auto_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < 300), out, CFG)
+    # first append stays under the threshold: no compaction
+    append_to_index(
+        spark,
+        pages.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < SPLIT)),
+        out,
+        auto_compact_epochs=2,
+    )
+    assert index_epochs(out) == [0, 1]
+    led = read_ledger(spark, out)
+    assert led.filter(F.col("status") == "compacted").count() == 0
+    # second append crosses it: 3 epochs > 2 -> policy fires
+    append_to_index(
+        spark,
+        pages.filter(F.col("doc_id") >= SPLIT),
+        out,
+        auto_compact_epochs=2,
+    )
+    assert index_epochs(out) == [0]
+    led = read_ledger(spark, out)
+    compacted = led.filter(F.col("status") == "compacted").collect()
+    assert len(compacted) == 1
+    assert compacted[0]["input_snapshot"] == "__compaction__"
+    # the synthetic row must not disturb epoch allocation or resume
+    # bookkeeping: real epochs still {0,1,2}, next allocation max+1
+    real = led.filter(F.col("status") == "done")
+    assert {r["epoch"] for r in real.select("epoch").distinct().collect()} == {
+        0,
+        1,
+        2,
+    }
+    # serving identical to the cold build of the union
+    s_cold, s_auto = LocalSearcher(dirs[0]), LocalSearcher(out)
+    for q in generate_queries(N_DOCS)[:15]:
+        a = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in s_cold.search(q["text"], q["k"])
+        ]
+        b = [
+            (r["rank"], r["doc_id"], r["score_fixed"])
+            for r in s_auto.search(q["text"], q["k"])
+        ]
+        assert a == b, q["text"]
+    # compacted content == cold-build content (global df restored)
+    assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])
+
+
 def test_wand_identical_on_appended_index(spark, dirs):
     """The distributed WAND path over a MULTI-EPOCH index (epoch-local
     stored df, global df via the sum(n_docs) broadcast fixup) returns

@@ -48,6 +48,37 @@ def test_graph_build_deterministic_and_degree_bounded(emb_df):
         assert (row < 120).all()
 
 
+def test_robust_prune_never_keeps_duplicate_ids():
+    """ADVICE r06 (medium): with np.unique dropped, FP rounding
+    asymmetry between the gemm gram matrix and the gemv d_p let a
+    duplicated candidate id survive its own occlusion (~1/3 of
+    duplicate-vector trials), producing duplicate adjacency edges and
+    duplicate vec_ids inside a query's top-k — on exactly the
+    duplicate-heavy corpora the dedup feature targets.  The kept list
+    must never contain an id twice, and a duplicate-heavy corpus
+    must build a graph whose rows carry no repeated neighbor ids."""
+    from meme_search_engine_spark.common.vecmath import l2_normalize
+
+    rng = np.random.default_rng(11)
+    base = l2_normalize(rng.normal(size=(40, 16)))
+    # 20 exact duplicate VECTORS under new ids + candidate lists with
+    # duplicate IDS (sampled with replacement) — both failure shapes
+    vm = np.concatenate([base, base[:20]])
+    for _ in range(60):
+        point = int(rng.integers(0, len(vm)))
+        cand = rng.integers(0, len(vm), size=24).astype(np.int64)
+        kept = vamana._robust_prune(vm, point, cand, alpha=1.2, r=8)
+        assert len(set(kept.tolist())) == len(kept), kept
+        assert point not in kept
+
+    # end-to-end: the graph over the duplicate-heavy corpus has no
+    # repeated neighbor ids in any adjacency row
+    adj, _ = vamana.build_vamana_graph(vm, r=8, beam=24, seed=3)
+    for i in range(len(adj)):
+        row = adj[i][adj[i] >= 0].tolist()
+        assert len(set(row)) == len(row), (i, row)
+
+
 def test_single_shard_graph_recall(emb_df):
     """Beam search on one full graph must recover nearly all of the
     exact top-10 (single shard = no routing loss) while visiting a
