@@ -895,21 +895,30 @@ class LocalSearcher:
         bm25_topk_with_prior (pytest)."""
         from ..common.bm25 import FIXED_POINT_SCALE
 
-        acc = self._bm25_fixed_all(text)
-        if not acc:
+        doc_ids, sums = self._bm25_fixed_all(text)
+        if not len(doc_ids):
             return []
-        priors = self._priors_for(list(acc), w_distinct, w_stopword)
-        for doc in acc:
-            acc[doc] += priors.get(doc, 0)
-        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        priors = self._priors_for(
+            doc_ids.tolist(), w_distinct, w_stopword
+        )
+        if priors:
+            sums = sums + np.fromiter(
+                (priors.get(int(d), 0) for d in doc_ids),
+                dtype=np.int64,
+                count=len(doc_ids),
+            )
+        # (-score, doc_id) rank, vectorized — identical ordering to the
+        # old Python sorted(key=(-score, doc)) (lexsort's last key is
+        # primary)
+        order = np.lexsort((doc_ids, -sums))[:k]
         results = [
             {
                 "rank": i + 1,
-                "doc_id": doc,
-                "score_fixed": sf,
-                "score": sf / float(FIXED_POINT_SCALE),
+                "doc_id": int(doc_ids[j]),
+                "score_fixed": int(sums[j]),
+                "score": int(sums[j]) / float(FIXED_POINT_SCALE),
             }
-            for i, (doc, sf) in enumerate(ranked)
+            for i, j in enumerate(order)
         ]
         return self._attach_urls(results) if with_urls else results
 
@@ -959,10 +968,14 @@ class LocalSearcher:
             )
         return cache[embeddings_path][1].vectors_for(ids)
 
-    def _bm25_fixed_all(self, text: str) -> dict[int, int]:
-        """doc_id -> exact fixed-point BM25 over the query's terms
-        (every posting of every query term; the same accumulation the
-        weighted/quality paths use)."""
+    def _bm25_fixed_all(self, text: str) -> tuple:
+        """(doc_ids int64 ASCENDING, fixed-point BM25 int64) over every
+        posting of every query term — the same accumulation the
+        weighted/quality paths use.  Arrays, not a dict: at index
+        scale a head term scores ~10k+ docs per query and the Python
+        dict build + sorted() ranking was 69% of warm hybrid service
+        time (profiled at 100k docs); callers rank with np.lexsort and
+        join with searchsorted instead."""
         from ..common.bm25 import FIXED_POINT_SCALE
 
         hashes = sorted({term_hash(t) for t in tokenize(text)})
@@ -980,9 +993,11 @@ class LocalSearcher:
                     )
                 )
         if not parts:
-            return {}
-        uniq, sums = self._accumulate_fixed(parts)
-        return dict(zip(uniq.tolist(), sums.tolist()))
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        return self._accumulate_fixed(parts)
 
     def search_hybrid(
         self,
@@ -1035,15 +1050,21 @@ class LocalSearcher:
         ivf = self._ivf(ivf_dir)
         vec_ids = ivf.candidates(qvec, k=n_candidates, n_probe=n_probe)
 
-        acc = self._bm25_fixed_all(text)
-        text_ids = [
-            doc
-            for doc, _ in sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[
-                :n_candidates
-            ]
-        ]
-        cand_ids = sorted(set(vec_ids) | set(text_ids))
-        if not cand_ids:
+        bm_ids, bm_scores = self._bm25_fixed_all(text)
+        # top-C text candidates by (-score, doc_id) — np.lexsort's last
+        # key is primary, so this is EXACTLY the old Python
+        # sorted(key=(-score, doc)) ordering, vectorized (the Python
+        # sort over a head term's ~10k+ scored docs was 69% of warm
+        # hybrid service time at 100k docs)
+        if len(bm_ids) > n_candidates:
+            top = np.lexsort((bm_ids, -bm_scores))[:n_candidates]
+            text_ids = bm_ids[top]
+        else:
+            text_ids = bm_ids
+        cand_ids = np.union1d(
+            np.asarray(list(vec_ids), dtype=np.int64), text_ids
+        )
+        if not len(cand_ids):
             return []
         ids, m = self._vectors_for(embeddings_path, cand_ids)
         if not len(ids):
@@ -1055,11 +1076,14 @@ class LocalSearcher:
         # HALF_UP away from zero — matches Spark/DuckDB round(x, 0)
         cos4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         score = w_vec * cos4 * COSINE_STEP_FIXED
-        score += np.fromiter(
-            (w_text * acc.get(int(i), 0) for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        # join the BM25 channel by searchsorted (bm_ids ascending):
+        # candidates with no text score contribute 0, same as the old
+        # dict .get default
+        if len(bm_ids):
+            pos = np.searchsorted(bm_ids, ids)
+            pos_c = np.minimum(pos, len(bm_ids) - 1)
+            hit = bm_ids[pos_c] == ids
+            score += w_text * np.where(hit, bm_scores[pos_c], 0)
 
         if dedup_threshold is not None:
             # query-time near-dup suppression of results (the
