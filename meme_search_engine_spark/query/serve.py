@@ -1198,15 +1198,18 @@ class LocalSearcher:
         if not parts:
             return []
         uniq, sums = self._accumulate_fixed(parts)
-        acc = dict(zip(uniq.tolist(), sums.tolist()))
-        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # (-score, doc_id) rank, vectorized — identical ordering to a
+        # Python sorted(key=(-score, doc)) over the dict this used to
+        # build (same head-term pathology as search_hybrid: the dict +
+        # sort scaled with df, not k)
+        order = np.lexsort((uniq, -sums))[:k]
         results = [
             {
                 "rank": i + 1,
-                "doc_id": doc,
-                "score_fixed": sf,
-                "score": sf / float(FIXED_POINT_SCALE),
+                "doc_id": int(uniq[j]),
+                "score_fixed": int(sums[j]),
+                "score": int(sums[j]) / float(FIXED_POINT_SCALE),
             }
-            for i, (doc, sf) in enumerate(ranked)
+            for i, j in enumerate(order)
         ]
         return self._attach_urls(results) if with_urls else results
