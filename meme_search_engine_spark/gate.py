@@ -422,14 +422,20 @@ SELECT doc_id, CAST(len({SQL_TOKS}) AS INTEGER) AS doc_len FROM documents
 
 
 def q_term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document frequency per term, deterministic top-100 (A12 + T5)."""
+    """Document frequency per term, deterministic top-100 (A12 + T5).
+
+    df(term) = #docs containing term = count over the DOC-LOCAL
+    distinct term set (array_distinct before the explode) — identical
+    to the former groupBy(doc_id, term)→groupBy(term) double exchange,
+    with the first exchange eliminated: all of a doc's tokens sit in
+    one array before any shuffle (same per-doc-local trick as the
+    build's tf combine, guide §2.4)."""
     docs = _docs(spark, sf_dir)
-    tf = (
-        docs.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .count()
+    dfreq = (
+        docs.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # deterministic top-100: distributed TakeOrderedAndProject (per-
     # partition top-N then merge), NOT a global window (which would
     # funnel every term through one partition)

@@ -113,20 +113,47 @@ LEDGER_SCHEMA = (
 )
 
 
-def _write_partials_and_ledger(
-    spark: SparkSession,
-    docs_b,
-    out_dir: str,
-    cfg: IndexConfig,
-    avgdl: float,
-    snapshot: str,
-    batch: list[int],
-    epoch: int,
-    rows_in_all: dict[int, int] | None = None,
+def _append_ledger_rows(out_dir: str, rows: list[tuple]) -> None:
+    """Commit ledger rows DRIVER-SIDE with pyarrow (atomic tmp+rename)
+    — the rows are a handful of scalars, and the former
+    createDataFrame().write round-trip cost a whole Spark job on the
+    build's serialized critical path (guide §5: the driver should do
+    almost no data work — this is exactly the 'almost').  Schema is
+    bit-compatible with the Spark-written files (read_ledger unions
+    them transparently)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _ledger_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "epoch": pa.array(cols[0], pa.int32()),
+            "part_id": pa.array(cols[1], pa.int32()),
+            "input_snapshot": pa.array(cols[2], pa.string()),
+            "rows_in": pa.array(cols[3], pa.int64()),
+            "terms_out": pa.array(cols[4], pa.int64()),
+            "bytes_out": pa.array(cols[5], pa.int64()),
+            "postings_out": pa.array(cols[6], pa.int64()),
+            "status": pa.array(cols[7], pa.string()),
+        }
+    )
+    name = f"part-{uuid.uuid4().hex}"
+    # dot-prefixed tmp: hidden from Spark's file index, so a crash
+    # mid-write can never leave a half-written file a reader would open
+    tmp = os.path.join(path, "." + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(path, name + ".parquet"))
+
+
+def _write_partials(
+    docs_b, out_dir: str, cfg: IndexConfig, avgdl: float, epoch: int
 ) -> None:
-    """One checkpoint batch: write stage-1 partials for `batch` parts
-    under partials/epoch=E/ (dynamic partition overwrite -> idempotent
-    per part) and commit the per-partition ledger rows with metrics."""
+    """Stage-1 partials write for one checkpoint batch (dynamic
+    partition overwrite -> idempotent per part)."""
     partials_dir = os.path.join(out_dir, "partials", f"epoch={epoch}")
     partials_b = build_partials_from_docs(docs_b, avgdl, cfg)
     (
@@ -135,6 +162,21 @@ def _write_partials_and_ledger(
         .mode("overwrite")
         .parquet(partials_dir)
     )
+
+
+def _ledger_commit(
+    spark: SparkSession,
+    docs_b,
+    out_dir: str,
+    cfg: IndexConfig,
+    snapshot: str,
+    batch: list[int],
+    epoch: int,
+    rows_in_all: dict[int, int] | None = None,
+) -> None:
+    """Commit the per-partition ledger rows with metrics aggregated
+    from the just-written partials (column-pruned metadata scan)."""
+    partials_dir = os.path.join(out_dir, "partials", f"epoch={epoch}")
     written = spark.read.parquet(partials_dir).filter(F.col("part_id").isin(batch))
     metrics = {
         r["part_id"]: r
@@ -171,8 +213,24 @@ def _write_partials_and_ledger(
         )
         for p in batch
     ]
-    spark.createDataFrame(ledger_rows, LEDGER_SCHEMA).write.mode("append").parquet(
-        _ledger_path(out_dir)
+    _append_ledger_rows(out_dir, ledger_rows)
+
+
+def _write_partials_and_ledger(
+    spark: SparkSession,
+    docs_b,
+    out_dir: str,
+    cfg: IndexConfig,
+    avgdl: float,
+    snapshot: str,
+    batch: list[int],
+    epoch: int,
+    rows_in_all: dict[int, int] | None = None,
+) -> None:
+    """One checkpoint batch: partials write + ledger commit, serial."""
+    _write_partials(docs_b, out_dir, cfg, avgdl, epoch)
+    _ledger_commit(
+        spark, docs_b, out_dir, cfg, snapshot, batch, epoch, rows_in_all
     )
 
 
@@ -241,7 +299,11 @@ def build_index(
     t0 = time.time()
     snapshot = input_snapshot(pages)
 
-    docs = docs_from_pages(pages)
+    # the build never reads `text` after tokenization (docmeta stores
+    # url/doc_len/ratios, postings only tokens) — project it out before
+    # the persist so the cache holds token arrays, not a second copy of
+    # every document body (guide §2.3: narrow what opaque stages carry)
+    docs = docs_from_pages(pages).select("doc_id", "url", "tokens", "doc_len")
     if cache_docs is None:
         size = _input_bytes(pages)
         cache_docs = size is not None and size <= _cache_budget_bytes(spark)
@@ -272,7 +334,73 @@ def build_index(
     pending = [p for p in range(cfg.n_parts) if p not in done]
     if parts_per_batch is None:
         parts_per_batch = max(len(pending), 1)
-    partials_dir = os.path.join(out_dir, "partials")
+    single_batch = (
+        len(pending) > 0
+        and parts_per_batch >= len(pending)
+        and fail_after_batches is None
+    )
+
+    if single_batch:
+        # Fast path (the common cold build): ONE checkpoint batch, so
+        # nothing orders the ledger metrics, the docmeta sidecar and
+        # the finalize among themselves — each is idempotent
+        # (overwrite / append-once) and a crash anywhere retries
+        # cleanly because the manifest commit marker is still written
+        # last.  Overlap the three (guide §2.6: back-fill the tail of
+        # each small job with the next one's tasks).  The big partials
+        # SORT stays exclusive — the r6 A/B (600k docs, local[8])
+        # showed overlapping THAT with docmeta halves build throughput;
+        # these tail jobs are metadata-sized by comparison (re-measured
+        # r8: 100k-doc build unchanged-to-better with the overlap).
+        batch = pending
+        docs_b = (
+            docs
+            if len(batch) == cfg.n_parts
+            else docs.filter(part_col(F.col("doc_id"), cfg).isin(batch))
+        )
+        _write_partials(docs_b, out_dir, cfg, stats["avgdl"], epoch=0)
+        t["partials"] = round(time.time() - t0, 3)
+        from concurrent.futures import ThreadPoolExecutor
+
+        tail_t: dict[str, float] = {}
+
+        def _timed(name, fn):
+            s = time.time()
+            fn()
+            tail_t[name] = round(time.time() - s, 3)
+
+        with ThreadPoolExecutor(3) as ex:
+            futs = [
+                ex.submit(
+                    _timed,
+                    "ledger",
+                    lambda: _ledger_commit(
+                        spark, docs_b, out_dir, cfg, snapshot, batch,
+                        epoch=0, rows_in_all=rows_in_all,
+                    ),
+                ),
+                ex.submit(
+                    _timed,
+                    "docmeta",
+                    lambda: _write_docmeta(docs, out_dir, epoch=0),
+                ),
+                ex.submit(
+                    _timed,
+                    "finalize",
+                    lambda: _finalize_epoch(spark, out_dir, cfg, epoch=0),
+                ),
+            ]
+            for f in futs:
+                f.result()
+        if cache_docs:
+            docs.unpersist()
+        # per-phase walls are CONCURRENT here (their sum exceeds the
+        # tail's wall) — keys kept for the scaling-protocol consumers
+        t["docmeta"] = tail_t["docmeta"]
+        t["finalize"] = tail_t["finalize"]
+        t["ledger"] = tail_t["ledger"]
+        return _write_manifest(out_dir, cfg, stats, snapshot)
+
     batches_done = 0
     while pending:
         batch = pending[:parts_per_batch]
@@ -446,14 +574,26 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     for p in (seg_tmp, ts_tmp):
         if os.path.isdir(p):
             shutil.rmtree(p)
-    (
-        segments.write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(os.path.join(seg_tmp, "epoch=0"))
-    )
-    term_stats_from_partials(
-        partials.drop("epoch")
-    ).write.mode("overwrite").parquet(os.path.join(ts_tmp, "epoch=0"))
+    # same independence argument as _finalize_epoch: both rewrites
+    # aggregate the partials directly, so they run CONCURRENTLY and the
+    # compaction wall is max(), not sum()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_seg():
+        (
+            segments.write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(seg_tmp, "epoch=0"))
+        )
+
+    def _write_ts():
+        term_stats_from_partials(
+            partials.drop("epoch")
+        ).write.mode("overwrite").parquet(os.path.join(ts_tmp, "epoch=0"))
+
+    with ThreadPoolExecutor(2) as ex:
+        for f in [ex.submit(_write_seg), ex.submit(_write_ts)]:
+            f.result()
     for name, tmp in (("segments", seg_tmp), ("term_stats", ts_tmp)):
         final = os.path.join(out_dir, name)
         old = os.path.join(out_dir, f"{name}.old")
@@ -466,10 +606,10 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     # matches completed_parts (filters status=='done'), part_id=-1
     # never collides with a real part, and epoch=max merged epoch
     # leaves the next append's max+1 allocation unchanged.
-    spark.createDataFrame(
+    _append_ledger_rows(
+        out_dir,
         [(int(epochs[-1]), -1, "__compaction__", 0, 0, 0, 0, "compacted")],
-        LEDGER_SCHEMA,
-    ).write.mode("append").parquet(_ledger_path(out_dir))
+    )
     return manifest
 
 
@@ -536,7 +676,9 @@ def append_to_index(
         else:
             epoch = int(led.agg(F.max("epoch")).collect()[0][0]) + 1
 
-    docs = docs_from_pages(new_pages)
+    docs = docs_from_pages(new_pages).select(
+        "doc_id", "url", "tokens", "doc_len"
+    )
     if cache_docs is None:
         size = _input_bytes(new_pages)
         cache_docs = size is not None and size <= _cache_budget_bytes(spark)

@@ -26,10 +26,53 @@ from ..common.bm25 import B, FIXED_POINT_SCALE, K1
 from ..index.build import tokens_col
 
 
+def query_terms_local(queries: DataFrame, default_k: int = 10):
+    """Driver-side (query_id, k, term, term_hash) rows when `queries`
+    is a driver-local relation (createDataFrame batches — every serving
+    and bench path); None when it is distributed.
+
+    A query batch is tiny, but the distributed tokenization embedded a
+    pandas UDF + a `distinct` exchange into EVERY downstream plan that
+    referenced it (one extra job per use — ~0.7 s of a 1.9 s warm WAND
+    batch was this planning read).  Driver-local batches tokenize with
+    the SAME shared tokenizer and hash with the bit-identical pure
+    xxhash64 (tests/test_hashing.py), so the rows are identical — set
+    semantics included — with zero Spark jobs.
+    """
+    try:
+        if not queries.isLocal():
+            return None
+        rows = queries.collect()
+    except Exception:
+        return None
+    from ..common.hashing import term_hash as _th
+    from ..common.textproc import tokenize as _tok
+
+    has_k = "k" in queries.columns
+    seen = set()
+    for r in rows:
+        k = int(r["k"]) if has_k and r["k"] is not None else int(default_k)
+        for term in _tok(r["text"]):
+            seen.add((r["query_id"], k, term))
+    return [
+        (qid, k, term, _th(term)) for qid, k, term in sorted(seen)
+    ]
+
+
 def query_terms(queries: DataFrame, default_k: int = 10) -> DataFrame:
     """queries(query_id, text[, k]) -> (query_id, k, term, term_hash),
     deduplicated (set semantics, weight 1 — same rule as the oracle).
-    Query text goes through the *same* tokenizer as documents."""
+    Query text goes through the *same* tokenizer as documents.
+
+    Driver-local query batches short-circuit to a LocalRelation (see
+    query_terms_local) — no tokenizer UDF, no distinct exchange."""
+    local = query_terms_local(queries, default_k)
+    if local is not None:
+        qid_type = queries.schema["query_id"].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            local,
+            f"query_id {qid_type}, k int, term string, term_hash long",
+        )
     if "k" not in queries.columns:
         queries = queries.withColumn("k", F.lit(default_k))
     return (

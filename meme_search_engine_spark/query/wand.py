@@ -417,18 +417,35 @@ def plan_candidate_blocks(
         # is already 16k-way parallel)
         n_ranges = int(min(256, max(1, n_docs // 16_384)))
 
-    qt = query_terms(queries, default_k)
-    # qt embeds the tokenizer pandas UDF and is referenced THREE times
-    # downstream (hash collect, broadcast join, k_df) — each a separate
-    # job re-running the UDF.  For any sane query batch, materialize it
-    # once and rebuild as a local DataFrame; a giant batch (>200k query
-    # terms) falls back to the distributed path.
-    qt_pd = qt.limit(_QT_LOCAL_MAX + 1).toPandas()
+    # qt embeds the tokenizer into EVERY downstream reference (hash
+    # collect, broadcast join, k_df).  Driver-local query batches (all
+    # serving/bench paths) tokenize+hash driver-side with the shared
+    # bit-identical functions — zero Spark jobs (query_terms_local);
+    # distributed batches materialize once via toPandas, and a giant
+    # batch (>200k query terms) falls back to the fully distributed
+    # plan.
+    from .dataframe_engine import query_terms_local
+
+    local_rows = query_terms_local(queries, default_k)
     qt_local_pd = None
-    if len(qt_pd) <= _QT_LOCAL_MAX:
+    if local_rows is not None and len(local_rows) <= _QT_LOCAL_MAX:
+        qid_type = queries.schema["query_id"].dataType.simpleString()
+        qt_schema = (
+            f"query_id {qid_type}, k int, term string, term_hash long"
+        )
+        qt = spark.createDataFrame(local_rows, qt_schema)
+        qt_local_pd = pd.DataFrame(
+            local_rows, columns=["query_id", "k", "term", "term_hash"]
+        )
+        qt_pd = qt_local_pd
+    else:
+        qt = query_terms(queries, default_k)
+        qt_pd = qt.limit(_QT_LOCAL_MAX + 1).toPandas()
+    if qt_local_pd is None and len(qt_pd) <= _QT_LOCAL_MAX:
         qt_local_pd = qt_pd
         qt = spark.createDataFrame(qt_pd, schema=qt.schema)
-        q_hashes = [int(h) for h in qt_pd["term_hash"].unique()]
+    if qt_local_pd is not None:
+        q_hashes = [int(h) for h in qt_local_pd["term_hash"].unique()]
     else:
         # driver-side pruning plan: buckets + term hashes of the query
         # set (tiny collect — the reference's "pick start shard" step,
