@@ -550,17 +550,83 @@ def index_epochs(out_dir: str) -> list[int]:
     )
 
 
+_COMPACT_MARKER = "compact.commit"
+_SWAP_NAMES = ("segments", "term_stats")
+
+
+def _apply_compaction_swap(out_dir: str) -> None:
+    """Roll a COMMITTED compaction swap forward — idempotent, so the
+    crash-recovery path (_heal_compaction) and the happy path share
+    it.  Per dir the states a crash can leave are all distinguishable
+    by existence of {final, final.old, final.tmp} and each resolves
+    toward the new (tmp) contents, which are complete by the time the
+    commit marker exists."""
+    import shutil
+
+    for name in _SWAP_NAMES:
+        final = os.path.join(out_dir, name)
+        old = final + ".old"
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            if os.path.isdir(final) and os.path.isdir(old):
+                raise RuntimeError(
+                    f"compaction swap: {final}, {old} and {tmp} all "
+                    "exist — not a state this protocol produces; "
+                    "refusing to guess"
+                )
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+
+def _heal_compaction(out_dir: str) -> None:
+    """Repair any interrupted compact_index swap (ADVICE r07): with
+    the commit marker present the tmp dirs are complete — roll the
+    swap FORWARD; without it the tmps are a partial pre-commit write —
+    roll BACK (delete tmps, restore any legacy .old).  Runs at
+    load/append/compact entry; every step is existence-guarded, so a
+    crash during healing heals again."""
+    import shutil
+
+    marker = os.path.join(out_dir, _COMPACT_MARKER)
+    if os.path.exists(marker):
+        _apply_compaction_swap(out_dir)
+        os.remove(marker)
+        return
+    for name in _SWAP_NAMES:
+        final = os.path.join(out_dir, name)
+        old = final + ".old"
+        tmp = final + ".tmp"
+        if os.path.isdir(old):
+            # legacy (pre-marker) crash window: old exists only after
+            # final was moved aside — restore or drop it
+            if not os.path.isdir(final):
+                os.rename(old, final)
+            else:
+                shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Maintenance op: merge ALL epochs back into a single epoch 0
     (full rewrite — the cost appends no longer pay).  Restores
     globally-dense block_id / exact stored df; queries are identical
-    before and after (pytest).  Swap is rename-atomic per dir.  Runs
-    either explicitly or via append_to_index(auto_compact_epochs=E) —
-    the reference's rebuild->atomic-swap loop (main.rs:1005-1035)
-    folds this rewrite into every cycle; here appends are delta-cost
-    and the rewrite is amortized by policy instead."""
+    before and after (pytest).  Crash-safe via a commit marker: the
+    new dirs are fully written as .tmp, `compact.commit` is the
+    atomic commit point, and the per-dir renames roll FORWARD from it
+    (a crash anywhere is healed by _heal_compaction at the next
+    load/append/compact — the rename window the r7 advice flagged is
+    closed).  Runs either explicitly or via
+    append_to_index(auto_compact_epochs=E) — the reference's
+    rebuild->atomic-swap loop (main.rs:1005-1035) folds this rewrite
+    into every cycle; here appends are delta-cost and the rewrite is
+    amortized by policy instead."""
     import shutil
 
+    _heal_compaction(out_dir)
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     cfg = IndexConfig(**manifest["config"])
@@ -594,12 +660,14 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     with ThreadPoolExecutor(2) as ex:
         for f in [ex.submit(_write_seg), ex.submit(_write_ts)]:
             f.result()
-    for name, tmp in (("segments", seg_tmp), ("term_stats", ts_tmp)):
-        final = os.path.join(out_dir, name)
-        old = os.path.join(out_dir, f"{name}.old")
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old)
+    # commit point: both tmp dirs are complete; from here the swap only
+    # rolls forward (see _apply_compaction_swap/_heal_compaction)
+    marker = os.path.join(out_dir, _COMPACT_MARKER)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"merged_epochs": epochs}, fh)
+    os.replace(marker + ".tmp", marker)
+    _apply_compaction_swap(out_dir)
+    os.remove(marker)
     # partials stay as-is: the union of ALL partial epochs remains the
     # durable source for any future compaction (ledger keys unchanged).
     # Record the rewrite in the ledger: status='compacted' never
@@ -641,10 +709,13 @@ def append_to_index(
       penalty (+18-27% measured, BENCH/BASELINE.md §multi-epoch) in a
       long-running deployment: once the committed index exceeds E
       segment epochs, compact_index() folds them back to one.  The
-      compaction runs AFTER the manifest commit, so a crash mid-rewrite
-      leaves a fully consistent multi-epoch index and the next append
-      retries the fold.
+      compaction runs AFTER the manifest commit; a crash BEFORE its
+      commit marker leaves the multi-epoch index untouched (partial
+      .tmp dirs are rolled back), a crash after it rolls forward — in
+      both cases _heal_compaction at the next load/append restores a
+      consistent index and the next append retries the fold.
     """
+    _heal_compaction(out_dir)
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     cfg = IndexConfig(**manifest["config"])
@@ -756,6 +827,7 @@ def load_index(spark: SparkSession, out_dir: str):
     (multi-epoch — see _finalize_epoch).  term_stats is aggregated to
     global per-term stats across epochs (df/n_blocks/bytes additive,
     bound is a max) — lazily, only if the caller evaluates it."""
+    _heal_compaction(out_dir)
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     manifest["n_epochs"] = max(1, len(index_epochs(out_dir)))

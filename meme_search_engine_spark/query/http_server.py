@@ -194,6 +194,14 @@ def make_handler(
             k = int(req.get("top_k", 10))
             if k < 1:
                 return self._reply(400, {"error": "top_k must be >= 1"})
+            if k > 10_000:
+                # k feeds n_candidates (max(k, ...)) and LocalVamana's
+                # beam (max(manifest_beam, k)): an unclamped top_k is
+                # the same exact-rerank-over-the-whole-table DoS the
+                # pool clamps below exist to prevent (ADVICE r07)
+                return self._reply(
+                    400, {"error": "top_k must be <= 10000"}
+                )
             import time as _time
 
             kind = (

@@ -104,6 +104,18 @@ class ForkServer:
         self.port = self._sock.getsockname()[1]
         self.supervise = supervise
         self.refork_count = 0
+        # supervision guard rails (ADVICE r07): a persistent failure
+        # (index dir gone, corrupt fragment) would otherwise hot-loop
+        # ~5 forks/s forever, each paying a full LocalSearcher build
+        self.max_reforks = 50
+        self.refork_backoff_start = 0.5
+        self.refork_backoff_max = 30.0
+        self.supervisor_gave_up = False
+        # set by start(): how many distinct worker pids answered
+        # /health before the deadline (== workers when coverage is
+        # full; load harnesses assert on it instead of trusting a
+        # silent shortfall)
+        self.ready_workers = 0
         # fork (not spawn): the workers inherit the listening fd
         # directly and skip a full reimport; the child touches only
         # stdlib + pyarrow + numpy after the fork
@@ -174,7 +186,19 @@ class ForkServer:
                         seen.add(pid)
         # len(seen) < workers at deadline with all alive = accept
         # starvation under a loaded box, not failure: socket is live
-        # and every worker process is running — proceed.
+        # and every worker process is running — proceed, but RECORD the
+        # shortfall (VERDICT r07 #5: returning silently hid it from
+        # load harnesses, which must assert full coverage themselves).
+        self.ready_workers = len(seen)
+        if self.ready_workers < self.workers:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ForkServer.start: only %d/%d workers answered /health "
+                "before the %.0fs deadline (all processes alive — "
+                "accept starvation, not failure)",
+                self.ready_workers, self.workers, timeout,
+            )
         if self.supervise:
             self._supervisor = threading.Thread(
                 target=self._supervise_loop, daemon=True
@@ -186,15 +210,47 @@ class ForkServer:
         """Re-fork any worker that exits while serving.  The shared
         listening socket stays open in the parent, so a replacement
         worker joins the accept queue with zero connection loss for
-        requests not in flight on the dead worker."""
+        requests not in flight on the dead worker.
+
+        Crash-loop protection (ADVICE r07): rapid successive deaths
+        back off exponentially (0.5 s doubling to 30 s — a worker that
+        served for a while resets the backoff), and after max_reforks
+        total the supervisor stops and logs loudly instead of forking
+        ~5/s against a persistent failure forever."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        backoff = self.refork_backoff_start
+        last_refork = 0.0
         while not self._stopping.wait(poll):
             for i, p in enumerate(self._procs):
                 if p.exitcode is not None and not self._stopping.is_set():
+                    if self.refork_count >= self.max_reforks:
+                        self.supervisor_gave_up = True
+                        log.error(
+                            "ForkServer supervisor: %d reforks "
+                            "exhausted (persistent worker failure, "
+                            "last exitcode %s) — giving up; serving "
+                            "continues on %d live worker(s)",
+                            self.refork_count, p.exitcode,
+                            self.alive_workers(),
+                        )
+                        return
+                    now = time.monotonic()
+                    if now - last_refork < backoff + poll:
+                        # died again within the backoff window: wait
+                        # and double (bounded), interruptible by stop()
+                        if self._stopping.wait(backoff):
+                            return
+                        backoff = min(backoff * 2, self.refork_backoff_max)
+                    else:
+                        backoff = self.refork_backoff_start
                     p.join()  # reap
                     fresh = self._fork_one()
                     fresh.start()
                     self._procs[i] = fresh
                     self.refork_count += 1
+                    last_refork = time.monotonic()
 
     def alive_workers(self) -> int:
         return sum(p.is_alive() for p in self._procs)

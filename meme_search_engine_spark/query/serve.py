@@ -900,30 +900,94 @@ class LocalSearcher:
         ]
         return self._attach_urls(results) if with_urls else results
 
-    def _priors_for(
-        self, doc_ids: list[int], w_distinct: float, w_stopword: float
-    ) -> dict[int, int]:
-        """doc_id -> fixed-point quality prior from the docmeta sidecar
-        channels (same formula/rounding as gate.quality_prior_fixed)."""
+    # docmeta quality channels, decoded ONCE per index rewrite into
+    # doc_id-ascending arrays (fingerprinted like every resident cache
+    # in this module).  Above the row cap the resident form would cost
+    # real memory (24 B/doc) and the per-query filtered read is the
+    # right trade again.
+    _DOCMETA_CHANNELS_CACHE: dict[str, tuple] = {}
+    _DOCMETA_RESIDENT_MAX_ROWS = 20_000_000
+
+    def _docmeta_channels(self):
+        """(doc_ids int64 ASCENDING, distinct_ratio f64, stopword_ratio
+        f64) or None (no docmeta / over the resident cap)."""
+        import numpy as np
+
+        if not os.path.isdir(self._docmeta_dir):
+            return None
+        cache = LocalSearcher._DOCMETA_CHANNELS_CACHE
+        fp = _path_fingerprint(self._docmeta_dir)
+        hit = cache.get(self._docmeta_dir)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        if self.stats.get("N", 0) > self._DOCMETA_RESIDENT_MAX_ROWS:
+            return None
+        meta = ds.dataset(
+            self._docmeta_dir, format="parquet", partitioning="hive"
+        ).to_table(columns=["doc_id", "distinct_ratio", "stopword_ratio"])
+        ids = meta.column("doc_id").to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        entry = (
+            ids[order],
+            meta.column("distinct_ratio").to_numpy()[order],
+            meta.column("stopword_ratio").to_numpy()[order],
+        )
+        cache[self._docmeta_dir] = (fp, entry)
+        return entry
+
+    def _priors_fixed_for(
+        self, doc_ids, w_distinct: float, w_stopword: float
+    ):
+        """int64 fixed-point quality priors ALIGNED with `doc_ids`
+        (0 where a doc has no docmeta row) — same formula/rounding as
+        gate.quality_prior_fixed, vectorized: channel gather is a
+        searchsorted join against the decode-once sorted arrays (the
+        same pattern as the hybrid fusion join), never a Python dict
+        over every scored doc (that dict build scaled with head-term
+        df and was the last O(df)-Python serving term — VERDICT r07)."""
         import numpy as np
 
         from ..common.bm25 import FIXED_POINT_SCALE
 
-        if not doc_ids or not os.path.isdir(self._docmeta_dir):
-            return {}
-        meta = ds.dataset(
-            self._docmeta_dir, format="parquet", partitioning="hive"
-        ).to_table(
-            columns=["doc_id", "distinct_ratio", "stopword_ratio"],
-            filter=pc.field("doc_id").isin(doc_ids),
-        )
-        ids = meta.column("doc_id").to_numpy()
-        dr = meta.column("distinct_ratio").to_numpy()
-        sr = meta.column("stopword_ratio").to_numpy()
+        if not len(doc_ids) or not os.path.isdir(self._docmeta_dir):
+            return None
+        ch = self._docmeta_channels()
+        if ch is not None:
+            ids, dr_all, sr_all = ch
+            if not len(ids):
+                return None
+            pos = np.minimum(
+                np.searchsorted(ids, doc_ids), len(ids) - 1
+            )
+            found = ids[pos] == doc_ids
+            dr = dr_all[pos]
+            sr = sr_all[pos]
+        else:
+            # over-cap fallback: one filtered read of just this
+            # query's candidate rows, still array-joined
+            meta = ds.dataset(
+                self._docmeta_dir, format="parquet", partitioning="hive"
+            ).to_table(
+                columns=["doc_id", "distinct_ratio", "stopword_ratio"],
+                filter=pc.field("doc_id").isin(doc_ids.tolist()),
+            )
+            ids = meta.column("doc_id").to_numpy().astype(np.int64)
+            if not len(ids):
+                return None
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            pos = np.minimum(
+                np.searchsorted(ids, doc_ids), len(ids) - 1
+            )
+            found = ids[pos] == doc_ids
+            dr = meta.column("distinct_ratio").to_numpy()[order][pos]
+            sr = meta.column("stopword_ratio").to_numpy()[order][pos]
         prior = np.floor(
-            (w_distinct * dr + w_stopword * sr) * float(FIXED_POINT_SCALE) + 0.5
+            (w_distinct * dr + w_stopword * sr) * float(FIXED_POINT_SCALE)
+            + 0.5
         ).astype(np.int64)
-        return dict(zip(ids.tolist(), prior.tolist()))
+        prior[~found] = 0
+        return prior
 
     def search_quality(
         self,
@@ -945,15 +1009,9 @@ class LocalSearcher:
         doc_ids, sums = self._bm25_fixed_all(text)
         if not len(doc_ids):
             return []
-        priors = self._priors_for(
-            doc_ids.tolist(), w_distinct, w_stopword
-        )
-        if priors:
-            sums = sums + np.fromiter(
-                (priors.get(int(d), 0) for d in doc_ids),
-                dtype=np.int64,
-                count=len(doc_ids),
-            )
+        priors = self._priors_fixed_for(doc_ids, w_distinct, w_stopword)
+        if priors is not None:
+            sums = sums + priors
         # (-score, doc_id) rank, vectorized — identical ordering to the
         # old Python sorted(key=(-score, doc)) (lexsort's last key is
         # primary)

@@ -305,3 +305,85 @@ def test_append_crash_resume_reuses_epoch(spark, dirs, tmp_path):
     assert epochs == {0, 1}, epochs  # no phantom epoch 2
     # content equals the module's clean cold build (no doubled tf/df)
     assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])
+
+
+def test_compaction_crash_midswap_heals_forward(
+    spark, dirs, tmp_path, monkeypatch
+):
+    """A crash AFTER the compact.commit marker, between the segments
+    and term_stats swaps, rolls FORWARD at the next load_index
+    (ADVICE r07 crash-window): single epoch, no debris, identical
+    query results."""
+    from meme_search_engine_spark.index import builder
+
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "midswap_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), out)
+    queries = generate_queries(N_DOCS)[:10]
+    s = LocalSearcher(out)
+    before = [s.search(q["text"], q["k"]) for q in queries]
+
+    real_swap = builder._apply_compaction_swap
+
+    def crash_after_segments(d):
+        monkeypatch.setattr(builder, "_SWAP_NAMES", ("segments",))
+        try:
+            real_swap(d)
+        finally:
+            monkeypatch.setattr(
+                builder, "_SWAP_NAMES", ("segments", "term_stats")
+            )
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(
+        builder, "_apply_compaction_swap", crash_after_segments
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        builder.compact_index(spark, out)
+    monkeypatch.setattr(builder, "_apply_compaction_swap", real_swap)
+    # the crash state the advice described: marker committed, segments
+    # already swapped, term_stats still multi-epoch with its tmp
+    assert os.path.exists(os.path.join(out, "compact.commit"))
+    assert os.path.isdir(os.path.join(out, "term_stats.tmp"))
+    load_index(spark, out)  # any reader heals forward
+    assert not os.path.exists(os.path.join(out, "compact.commit"))
+    assert not os.path.isdir(os.path.join(out, "term_stats.tmp"))
+    assert not os.path.isdir(os.path.join(out, "term_stats.old"))
+    from meme_search_engine_spark.index.builder import index_epochs
+
+    assert index_epochs(out) == [0]
+    s2 = LocalSearcher(out)
+    after = [s2.search(q["text"], q["k"]) for q in queries]
+    assert before == after
+    # compacted content == the module's clean cold build
+    assert _decoded_content(spark, out) == _decoded_content(spark, dirs[0])
+
+
+def test_compaction_precommit_crash_rolls_back(spark, dirs, tmp_path):
+    """Partial .tmp dirs WITHOUT the commit marker (crash during the
+    rewrite itself) roll BACK: tmps deleted, multi-epoch index
+    untouched, results unchanged."""
+    from meme_search_engine_spark.index.builder import index_epochs
+
+    base = os.path.dirname(dirs[1])
+    pages = spark.read.parquet(os.path.join(base, f"pages_{N_DOCS}"))
+    out = str(tmp_path / "precommit_idx")
+    build_index(spark, pages.filter(F.col("doc_id") < SPLIT), out, CFG)
+    append_to_index(spark, pages.filter(F.col("doc_id") >= SPLIT), out)
+    queries = generate_queries(N_DOCS)[:10]
+    s = LocalSearcher(out)
+    before = [s.search(q["text"], q["k"]) for q in queries]
+    # simulate a crash mid-rewrite: a half-written tmp, no marker
+    os.makedirs(os.path.join(out, "segments.tmp", "epoch=0"))
+    with open(
+        os.path.join(out, "segments.tmp", "epoch=0", "junk.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not a parquet file")
+    load_index(spark, out)
+    assert not os.path.isdir(os.path.join(out, "segments.tmp"))
+    assert index_epochs(out) == [0, 1]  # multi-epoch intact
+    s2 = LocalSearcher(out)
+    after = [s2.search(q["text"], q["k"]) for q in queries]
+    assert before == after
