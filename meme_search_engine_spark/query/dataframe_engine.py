@@ -26,23 +26,30 @@ from ..common.bm25 import B, FIXED_POINT_SCALE, K1
 from ..index.build import tokens_col
 
 
-def query_terms_local(queries: DataFrame, default_k: int = 10):
+def query_terms_local(
+    queries: DataFrame, default_k: int = 10, max_rows: int = 10_000
+):
     """Driver-side (query_id, k, term, term_hash) rows when `queries`
-    is a driver-local relation (createDataFrame batches — every serving
-    and bench path); None when it is distributed.
+    is a small batch; None when it is too large to plan locally.
 
     A query batch is tiny, but the distributed tokenization embedded a
     pandas UDF + a `distinct` exchange into EVERY downstream plan that
     referenced it (one extra job per use — ~0.7 s of a 1.9 s warm WAND
-    batch was this planning read).  Driver-local batches tokenize with
-    the SAME shared tokenizer and hash with the bit-identical pure
-    xxhash64 (tests/test_hashing.py), so the rows are identical — set
-    semantics included — with zero Spark jobs.
+    batch was this planning read).  Small batches tokenize with the
+    SAME shared tokenizer and hash with the bit-identical pure xxhash64
+    (tests/test_hashing.py), so the rows are identical — set semantics
+    included.  LocalRelation inputs collect for free; other plans
+    (createDataFrame yields a LogicalRDD, parquet a scan) pay ONE
+    row-limited collect, which replaces the per-reference tokenizer
+    jobs downstream.  Batches past max_rows stay fully distributed.
     """
     try:
-        if not queries.isLocal():
-            return None
-        rows = queries.collect()
+        if queries.isLocal():
+            rows = queries.collect()
+        else:
+            rows = queries.limit(max_rows + 1).collect()
+            if len(rows) > max_rows:
+                return None
     except Exception:
         return None
     from ..common.hashing import term_hash as _th

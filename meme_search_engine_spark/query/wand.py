@@ -426,7 +426,9 @@ def plan_candidate_blocks(
     # plan.
     from .dataframe_engine import query_terms_local
 
-    local_rows = query_terms_local(queries, default_k)
+    local_rows = query_terms_local(
+        queries, default_k, max_rows=_QT_LOCAL_MAX
+    )
     qt_local_pd = None
     if local_rows is not None and len(local_rows) <= _QT_LOCAL_MAX:
         qid_type = queries.schema["query_id"].dataType.simpleString()
@@ -538,6 +540,12 @@ def plan_candidate_blocks(
     # 2^shift ≈ span / n_ranges (shift ≥ 1 keeps shifted values
     # non-negative and unsigned-ordered)
     doc_shift = max(1, min(63, (max(span // max(n_ranges, 1), 1)).bit_length()))
+    # when the whole corpus shifts into ONE range (every small corpus,
+    # and any n_ranges=1 request over dense ids), each query forms a
+    # single scoring group whose local top-k IS the global answer —
+    # signalled to wand_topk via k_df=None so it skips the merge
+    # window + k_df broadcast join outright (one exchange fewer)
+    single_range = (u_lo >> doc_shift) == (u_hi >> doc_shift)
     exploded = blocks.withColumn(
         "range_id",
         F.explode(
@@ -560,6 +568,8 @@ def plan_candidate_blocks(
         )
     else:
         exploded = exploded.withColumn("theta0", F.lit(0).cast("long"))
+    if single_range:
+        return exploded, doc_shift, None
     k_df = qt.select("query_id", "k").distinct()
     return exploded, doc_shift, k_df
 
@@ -604,6 +614,14 @@ def wand_topk(
     partial = exploded.groupBy("query_id", "range_id").applyInPandas(
         kernel, RESULT_SCHEMA
     )
+    if k_df is None:
+        # single doc-range (see plan_candidate_blocks): each query is
+        # one scoring group, its kernel output already the exact
+        # globally-ranked top-k — the merge window would renumber an
+        # identical ordering, so skip its exchange entirely
+        return partial.select(
+            "query_id", "rank", "doc_id", "score_fixed", "score"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_fixed"), F.asc("doc_id")
     )
