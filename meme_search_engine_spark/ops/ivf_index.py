@@ -96,8 +96,15 @@ def build_ivf_index(
         assigned = pq_encode(assigned, pq_codebooks, rotation=rotation)
     elif storage == "fp16":
         assigned = pack_embeddings_fp16(assigned)
+    from ..common.hashing import collision_free_partitions
+
     (
-        assigned.repartition("list_id")
+        # collision-free list->task spread (see hashing helper): with
+        # P == n_lists, murmur3 stacks up to 4 lists on one writer
+        # task while half the cores idle (guide §2.5)
+        assigned.repartition(
+            collision_free_partitions(int(centroids.shape[0])), "list_id"
+        )
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "lists"))
@@ -176,8 +183,12 @@ def append_ivf_index(
         from .similarity import pack_embeddings_fp16
 
         assigned = pack_embeddings_fp16(assigned)
+    from ..common.hashing import collision_free_partitions
+
     (
-        assigned.repartition("list_id")
+        assigned.repartition(
+            collision_free_partitions(int(manifest["n_lists"])), "list_id"
+        )
         .write.partitionBy("list_id")
         .mode("append")
         .parquet(os.path.join(out_dir, "lists"))
@@ -208,10 +219,14 @@ def compact_ivf_index(spark: SparkSession, out_dir: str) -> dict:
     for p_ in (tmp, old):
         if os.path.isdir(p_):
             shutil.rmtree(p_)
+    from ..common.hashing import collision_free_partitions
+
     (
         spark.read.parquet(lists_dir)
         .dropDuplicates(["list_id", "vec_id"])
-        .repartition("list_id")
+        .repartition(
+            collision_free_partitions(int(manifest["n_lists"])), "list_id"
+        )
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(tmp)

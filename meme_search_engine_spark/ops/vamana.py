@@ -550,8 +550,17 @@ def build_vamana_index(
                 spill=1,
             ).withColumn("is_query", F.lit(True))
         )
+    from ..common.hashing import collision_free_partitions
+
+    # exact 1:1 shard->task spread: with P == n_shards, murmur3
+    # collisions stack 2-3 whole graph builds on one task (measured:
+    # 32 shards -> 18 tasks) and the stage wall multiplies; the
+    # collision-free P keeps every build concurrent, and the explicit
+    # count stops AQE from re-coalescing the small shuffle
     (
-        assigned.repartition("list_id")
+        assigned.repartition(
+            collision_free_partitions(int(centroids.shape[0])), "list_id"
+        )
         .groupBy("list_id")
         .applyInPandas(
             _shard_builder(r, beam, alpha, max_add_per_stitch),
@@ -635,8 +644,14 @@ def append_vamana_index(
                 "is_query", F.lit(True)
             )
         )
+    from ..common.hashing import collision_free_partitions
+
     (
-        union.repartition("list_id")
+        # collision-free spread over the FULL shard-id space (same
+        # reasoning as build_vamana_index; affected is a subset of it)
+        union.repartition(
+            collision_free_partitions(int(manifest["n_shards"])), "list_id"
+        )
         .groupBy("list_id")
         .applyInPandas(
             _shard_builder(
