@@ -496,16 +496,44 @@ def plan_candidate_blocks(
             thetas = _seed_thetas(spark, blocks, n_docs, avgdl, k1, b)
         if any(thetas.values()):
             # per-(query, term) global max ub — metadata-only agg
-            # (Catalyst prunes the binary payload columns out of it)
+            # (Catalyst prunes the binary payload columns out of it).
+            # tmax is referenced TWICE (per-term and per-query-total):
+            # as a self-join that was two full pruned-segment scans
+            # plus a SortMergeJoin of two metadata frames; for any
+            # locally-planned batch the agg is ≤ |query terms| rows, so
+            # collect it once and derive other_max driver-side (the
+            # giant-distributed-batch path keeps the join form).
             tg = blocks.groupBy("query_id", "term_hash").agg(
                 F.max("ub").alias("tmax")
             )
-            qtot = tg.groupBy("query_id").agg(F.sum("tmax").alias("ttot"))
-            other = tg.join(qtot, "query_id").select(
-                "query_id",
-                "term_hash",
-                (F.col("ttot") - F.col("tmax")).alias("other_max"),
-            )
+            if qt_local_pd is not None:
+                from collections import defaultdict
+
+                tg_rows = tg.collect()
+                ttot: dict = defaultdict(int)
+                for r in tg_rows:
+                    ttot[r["query_id"]] += int(r["tmax"])
+                qid_t = dict(blocks.dtypes)["query_id"]
+                other = spark.createDataFrame(
+                    [
+                        (
+                            r["query_id"],
+                            int(r["term_hash"]),
+                            ttot[r["query_id"]] - int(r["tmax"]),
+                        )
+                        for r in tg_rows
+                    ],
+                    f"query_id {qid_t}, term_hash long, other_max long",
+                )
+            else:
+                qtot = tg.groupBy("query_id").agg(
+                    F.sum("tmax").alias("ttot")
+                )
+                other = tg.join(qtot, "query_id").select(
+                    "query_id",
+                    "term_hash",
+                    (F.col("ttot") - F.col("tmax")).alias("other_max"),
+                )
             theta_df = spark.createDataFrame(
                 [(qid, th) for qid, th in thetas.items()],
                 "query_id int, theta long",
