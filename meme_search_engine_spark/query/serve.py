@@ -1012,10 +1012,14 @@ class LocalSearcher:
         priors = self._priors_fixed_for(doc_ids, w_distinct, w_stopword)
         if priors is not None:
             sums = sums + priors
-        # (-score, doc_id) rank, vectorized — identical ordering to the
-        # old Python sorted(key=(-score, doc)) (lexsort's last key is
-        # primary)
-        order = np.lexsort((doc_ids, -sums))[:k]
+        # O(n) top-k selection (tie-exact at the boundary, same
+        # contract as search()), then rank only the k survivors —
+        # a full lexsort over every scored doc grew with head-term df
+        from ..ops.similarity import partial_topk_indices
+
+        kk = min(k, len(doc_ids))
+        sel = partial_topk_indices(sums[:, None], doc_ids, kk)[:, 0]
+        order = sel[np.lexsort((doc_ids[sel], -sums[sel]))]
         results = [
             {
                 "rank": i + 1,
@@ -1162,7 +1166,14 @@ class LocalSearcher:
         # sort over a head term's ~10k+ scored docs was 69% of warm
         # hybrid service time at 100k docs)
         if len(bm_ids) > n_candidates:
-            top = np.lexsort((bm_ids, -bm_scores))[:n_candidates]
+            # O(n) candidate cut (same top-C SET as the former full
+            # lexsort — boundary ties keep smallest doc_id); order is
+            # irrelevant here, union1d sorts the pool anyway
+            from ..ops.similarity import partial_topk_indices
+
+            top = partial_topk_indices(
+                bm_scores[:, None], bm_ids, n_candidates
+            )[:, 0]
             text_ids = bm_ids[top]
         else:
             text_ids = bm_ids
@@ -1256,11 +1267,13 @@ class LocalSearcher:
         if not parts:
             return []
         uniq, sums = self._accumulate_fixed(parts)
-        # (-score, doc_id) rank, vectorized — identical ordering to a
-        # Python sorted(key=(-score, doc)) over the dict this used to
-        # build (same head-term pathology as search_hybrid: the dict +
-        # sort scaled with df, not k)
-        order = np.lexsort((uniq, -sums))[:k]
+        # O(n) top-k selection + rank-k (tie-exact; same contract as
+        # search()) — the previous full lexsort scaled with df, not k
+        from ..ops.similarity import partial_topk_indices
+
+        kk = min(k, len(uniq))
+        sel = partial_topk_indices(sums[:, None], uniq, kk)[:, 0]
+        order = sel[np.lexsort((uniq[sel], -sums[sel]))]
         results = [
             {
                 "rank": i + 1,
