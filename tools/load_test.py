@@ -238,6 +238,12 @@ def main() -> None:
             args.index, workers=args.workers,
             embeddings_path=emb_dir, ivf_dir=ivf_dir,
         ).start()
+        # full readiness before the timed phase (VERDICT r07 #5):
+        # an accept-starved start would otherwise time cold workers
+        # inside the "warm" window and misreport the tier
+        assert srv.ready_workers == args.workers, (
+            f"only {srv.ready_workers}/{args.workers} workers ready"
+        )
     else:
         srv = SearchServer(
             args.index, embeddings_path=emb_dir, ivf_dir=ivf_dir
