@@ -234,8 +234,9 @@ class LocalIVF:
             raise ValueError(f"unknown IVF storage {self.storage!r}")
         cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
         self._cn = l2_normalize(cents)
+        self._lists_root = os.path.join(ivf_dir, "lists")
         self._ds, self._frags_by_list = _hive_fragment_map(
-            os.path.join(ivf_dir, "lists"), "list_id", "IVF"
+            self._lists_root, "list_id", "IVF"
         )
         # byte-budgeted LRU of DECODED fragments (query-independent:
         # ids + vectors/codes + norms) — the driver-local analogue of
@@ -382,7 +383,19 @@ class LocalIVF:
 
         # streaming fold keeps collapse-to-max + (-score, id) semantics
         # exactly (see _fold_topk) — same results as concat-then-sort
-        rid, _ = _fold_topk(_parts(), k)
+        try:
+            rid, _ = _fold_topk(_parts(), k)
+        except OSError:
+            # lists dir rewritten mid-probe (compact_ivf_index swap —
+            # the in-flight race): re-resolve fragments, drop the
+            # decoded cache (keys are fragment positions), retry once
+            self._ds, self._frags_by_list = _hive_fragment_map(
+                self._lists_root, "list_id", "IVF"
+            )
+            with self._frag_lock:
+                self._frag_cache.clear()
+                self._frag_cache_bytes = 0
+            rid, _ = _fold_topk(_parts(), k)
         return [int(i) for i in rid]
 
 
@@ -402,8 +415,9 @@ class LocalVamana:
         self.manifest = load_vamana_manifest(vamana_dir)
         cents = np.asarray(self.manifest["centroids"], dtype=np.float64)
         self._cn = l2_normalize(cents)
+        self._shards_root = os.path.join(vamana_dir, "shards")
         self._ds, self._frags_by_list = _hive_fragment_map(
-            os.path.join(vamana_dir, "shards"), "list_id", "Vamana"
+            self._shards_root, "list_id", "Vamana"
         )
         # shard id -> (gids, unit matrix, adjacency, start); bounded
         # LRU (move-to-end on hit, evict-oldest at cap — clear()-style
@@ -430,12 +444,25 @@ class LocalVamana:
                 return self._shards[lid]
         import pyarrow as pa
 
-        tables = [
-            f.to_table(
-                columns=["vec_id", "embedding", "neighbors", "is_medoid"]
-            )
-            for f in self._frags_by_list.get(lid, [])
-        ]
+        for attempt in (0, 1):
+            try:
+                tables = [
+                    f.to_table(
+                        columns=[
+                            "vec_id", "embedding", "neighbors", "is_medoid"
+                        ]
+                    )
+                    for f in self._frags_by_list.get(lid, [])
+                ]
+                break
+            except OSError:
+                # shards rewritten mid-read (append rebuild of routed
+                # shards / dynamic overwrite): re-resolve, retry once
+                if attempt:
+                    raise
+                self._ds, self._frags_by_list = _hive_fragment_map(
+                    self._shards_root, "list_id", "Vamana"
+                )
         tables = [t for t in tables if t.num_rows]
         if not tables:
             with self._shard_lock:
@@ -650,8 +677,9 @@ class LocalSearcher:
         # docs); resolve bucket -> fragments ONCE here.  Fragment
         # objects cache their parquet footer after first use, so
         # repeated queries also skip footer re-reads.
+        self._segments_root = os.path.join(index_dir, "segments")
         self._dataset, self._frags_by_bucket = _hive_fragment_map(
-            os.path.join(index_dir, "segments"), "bucket", "segment"
+            self._segments_root, "bucket", "segment"
         )
         self._docmeta_dir = os.path.join(index_dir, "docmeta")
         # per-term posting-block cache: the index dir is immutable
@@ -704,12 +732,31 @@ class LocalSearcher:
         if missing:
             buckets = sorted({h % self.cfg["n_buckets"] for h in missing})
             filt = pc.field("term_hash").isin(missing)
-            tables = []
-            for b in buckets:
-                for frag in self._frags_by_bucket.get(b, []):
-                    t = frag.to_table(columns=_BLOCK_COLUMNS, filter=filt)
-                    if t.num_rows:
-                        tables.append(t)
+            for attempt in (0, 1):
+                try:
+                    tables = []
+                    for b in buckets:
+                        for frag in self._frags_by_bucket.get(b, []):
+                            t = frag.to_table(
+                                columns=_BLOCK_COLUMNS, filter=filt
+                            )
+                            if t.num_rows:
+                                tables.append(t)
+                    break
+                except OSError:
+                    # segments dir swapped under us (compact_index
+                    # finished between our fragment resolve and this
+                    # read — the in-flight-request race, VERDICT r07
+                    # #3).  Re-resolve the fragment map once and
+                    # retry; compaction preserves logical content, so
+                    # already-decoded cache entries stay valid.
+                    if attempt:
+                        raise
+                    self._dataset, self._frags_by_bucket = (
+                        _hive_fragment_map(
+                            self._segments_root, "bucket", "segment"
+                        )
+                    )
             fetched_map: dict[int, pd.DataFrame | None] = {
                 h: None for h in missing  # negative until proven present
             }

@@ -217,3 +217,67 @@ def test_resident_caches_invalidate_on_rewrite(spark, tmp_path):
     row2 = m2[np.searchsorted(ids2, common[0])]
     assert not np.array_equal(row1, row2)
     assert np.array_equal(np.roll(row2, -3), row1)
+
+
+def test_serve_survives_compaction_swap(spark, tmp_path):
+    """A searcher whose fragment map predates a compact_index swap must
+    serve THROUGH the swap (re-resolve + retry, VERDICT r07 #3) — no
+    FileNotFoundError, results identical to a fresh post-compact
+    searcher, and already-decoded terms stay correct."""
+    import pyspark.sql.functions as F
+
+    from meme_search_engine_spark.datagen import rare_term
+    from meme_search_engine_spark.index.builder import (
+        append_to_index,
+        compact_index,
+    )
+
+    base = tmp_path
+    pages_dir, _ = ensure_corpus(str(base), N_DOCS)
+    pages = spark.read.parquet(pages_dir)
+    out = str(base / "swap_idx")
+    cfg = IndexConfig(salt_shift=7, n_buckets=8, n_parts=2, block_size=32)
+    split = N_DOCS * 7 // 10
+    build_index(spark, pages.filter(F.col("doc_id") < split), out, cfg)
+    append_to_index(spark, pages.filter(F.col("doc_id") >= split), out)
+
+    s = LocalSearcher(out)
+    head_before = s.search("term0001", 10)  # warms + decodes this term
+    compact_index(spark, out)  # old segment files are GONE now
+
+    # uncached terms force fragment reads through the stale map
+    fresh = LocalSearcher(out)
+    for text in (rare_term(5), "term0002 term0150", "term0100"):
+        assert s.search(text, 10) == fresh.search(text, 10), text
+    # decoded-cache entries from before the swap stay correct
+    # (compaction preserves logical content)
+    assert s.search("term0001", 10) == head_before
+    assert fresh.search("term0001", 10) == head_before
+
+
+def test_ivf_probe_survives_compact_swap(spark, tmp_path):
+    """LocalIVF keeps answering through a compact_ivf_index rewrite:
+    stale fragments trigger one re-resolve + retry, and the candidate
+    set is invariant (compaction only dedups rows)."""
+    from meme_search_engine_spark.datagen import ensure_embeddings
+    from meme_search_engine_spark.ops.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from meme_search_engine_spark.query.serve import LocalIVF
+
+    emb_dir = ensure_embeddings(str(tmp_path), 2000)
+    emb = spark.read.parquet(emb_dir)
+    d = str(tmp_path / "ivf_swap")
+    build_ivf_index(
+        spark, emb.filter("vec_id < 1500"), d, n_lists=8, n_iters=2
+    )
+    append_ivf_index(spark, emb.filter("vec_id >= 1500"), d)
+    probe = LocalIVF(d)
+    q = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    before = probe.candidates(q, k=10, n_probe=4)
+    compact_ivf_index(spark, d)  # lists rewritten, old files gone
+    after = probe.candidates(q, k=10, n_probe=4)
+    assert after == LocalIVF(d).candidates(q, k=10, n_probe=4)
+    assert after == before
